@@ -1,0 +1,78 @@
+"""Sparse convolution apply: gather -> GEMM -> (masked) accumulate.
+
+TPU-native replacement for MinkowskiEngine's gather-GEMM-scatter convolution
+(the CUDA core behind ``ME.MinkowskiConvolution`` used everywhere in the
+reference backbone, ``/root/reference/torch_points3d/modules/MinkowskiEngine/
+api_modules.py:235-311``).
+
+Two execution strategies, both pure XLA (autodiff-friendly; XLA lowers the
+gathers to efficient dynamic-gathers and the backward pass to scatter-adds):
+
+* ``mode="fused"``: materialize the gathered neighborhood tensor [N, K*Cin]
+  and run ONE large matmul against the flattened weights [K*Cin, Cout]. Best
+  MXU utilization (contraction dim K*Cin = 108..3024 vs 16..112), at the cost
+  of a K-times-larger activation. Preferred on TPU for the UNet's sizes.
+* ``mode="loop"``: K small matmuls accumulated in fp32. K-times less live
+  memory; useful for very large N or ablation.
+
+Weights layout: [K, Cin, Cout] with K indexing kernel offsets in the fixed
+order of ``ops.sparse._kernel_offsets`` (z-fastest lexicographic).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def sparse_conv(
+    feats: jnp.ndarray,
+    nbr_idx: jnp.ndarray,
+    weights: jnp.ndarray,
+    mode: str = "fused",
+    out_dtype: jnp.dtype | None = None,
+) -> jnp.ndarray:
+    """Apply a sparse convolution through a kernel map.
+
+    Args:
+      feats: [N_in, Cin] input voxel features (padding rows must be zero or
+        will be masked out via the -1 indices anyway).
+      nbr_idx: [N_out, K] int32 gather map into ``feats`` rows, -1 = absent.
+      weights: [K, Cin, Cout].
+      mode: "fused" (one big GEMM) or "loop" (K GEMMs).
+      out_dtype: accumulation/output dtype (default: feats.dtype promoted to
+        at least float32 for accumulation, cast back to feats.dtype).
+
+    Returns:
+      [N_out, Cout] output features (padding rows are zero because all their
+      indices are -1).
+    """
+    n_out, k = nbr_idx.shape
+    kw, cin, cout = weights.shape
+    assert kw == k, f"kernel map K={k} != weights K={kw}"
+    compute_dtype = feats.dtype
+    acc_dtype = jnp.promote_types(compute_dtype, jnp.float32)
+    safe = jnp.maximum(nbr_idx, 0)
+    valid = (nbr_idx >= 0)[..., None]  # [N_out, K, 1]
+
+    if mode == "fused":
+        g = jnp.take(feats, safe, axis=0)  # [N_out, K, Cin]
+        g = jnp.where(valid, g, jnp.zeros((), dtype=compute_dtype))
+        out = jnp.dot(
+            g.reshape(n_out, k * cin),
+            weights.astype(compute_dtype).reshape(k * cin, cout),
+            preferred_element_type=acc_dtype,
+        )
+    elif mode == "loop":
+        out = jnp.zeros((n_out, cout), dtype=acc_dtype)
+        for kk in range(k):
+            gk = jnp.take(feats, safe[:, kk], axis=0)  # [N_out, Cin]
+            gk = jnp.where(valid[:, kk], gk, jnp.zeros((), dtype=compute_dtype))
+            out = out + jnp.dot(
+                gk, weights[kk].astype(compute_dtype), preferred_element_type=acc_dtype
+            )
+    else:
+        raise ValueError(f"unknown sparse_conv mode: {mode}")
+
+    if out_dtype is None:
+        out_dtype = compute_dtype
+    return out.astype(out_dtype)

@@ -1,0 +1,262 @@
+"""Fixed-shape sparse voxel grids and kernel-map construction.
+
+This module is the TPU-native replacement for MinkowskiEngine's coordinate
+manager + kernel-map machinery (the C++/CUDA core behind every sparse conv in
+the reference, see ``/root/reference/torch_points3d/modules/MinkowskiEngine/``).
+
+Design (idiomatic XLA, everything static-shaped under jit):
+
+* A :class:`SparseGrid` is a padded array of occupied voxels in *canonical
+  key-sorted order*: packed uint32 keys ascending, INVALID_KEY padding at the
+  end. Canonical order makes every hash lookup a binary search and makes
+  downsampling a sort-free compaction.
+* Kernel maps are dense ``[N, K]`` int32 neighbor-index tables (-1 = absent),
+  built once per level per step and shared by every conv at that level
+  (mirroring ME's kernel-map cache). K = 27 for kernel size 3.
+* Downsampling (stride 2) computes coarse coords = floor(fine / 2), compacts
+  unique keys with a cumsum, and records the fine->coarse parent map.
+  Coordinates at level L are stored *divided by 2^L* ("stride units"), so the
+  stride-2 conv at any level reads ``fine = 2 * coarse + offset`` and the
+  transpose conv reads ``coarse = (fine + offset) / 2`` - identical code at
+  all depths.
+
+ME convention notes (for checkpoint-import parity): ME stores coordinates in
+absolute units and its stride-2 kernel-3 output coords are
+``unique(floor(in / 2s) * 2s)`` gathering inputs at ``out + off * s`` for
+``off in {-1,0,1}^3``; in stride units that is exactly ``2c + off``. The
+transpose conv writes onto the cached finer coordinate map (coords reuse),
+which here is simply the retained fine-level grid.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .hashing import BitLayout, DEFAULT_BITS, INVALID_KEY, lookup, pack_coords
+
+
+def _kernel_offsets(kernel_size: int) -> np.ndarray:
+    """All integer offsets of a centered cubic kernel, shape [K, 3].
+
+    Order is z-fastest (lexicographic in (dx, dy, dz)); arbitrary but fixed -
+    it defines the weight layout W[k] and matters only for checkpoint import.
+    """
+    if kernel_size % 2 == 1:
+        r = kernel_size // 2
+        rng = np.arange(-r, r + 1)
+    else:
+        # Even kernels in ME span {0, 1, ..., k-1} (forward-biased).
+        rng = np.arange(0, kernel_size)
+    grid = np.stack(np.meshgrid(rng, rng, rng, indexing="ij"), axis=-1)
+    return grid.reshape(-1, 3).astype(np.int32)
+
+
+KERNEL_OFFSETS_K3 = _kernel_offsets(3)
+KERNEL_OFFSETS_K2 = _kernel_offsets(2)
+KERNEL_OFFSETS_K1 = _kernel_offsets(1)
+
+
+class SparseGrid(NamedTuple):
+    """A padded, canonically key-sorted set of occupied voxels.
+
+    Attributes:
+      coords: [N, 3] int32 voxel coords in units of the level's stride.
+        Padding rows hold 0.
+      batch: [N] int32 per-voxel sample id. Padding rows hold -1.
+      keys: [N] uint32 packed keys, ascending, INVALID_KEY for padding.
+      mask: [N] bool valid-row mask.
+    """
+
+    coords: jnp.ndarray
+    batch: jnp.ndarray
+    keys: jnp.ndarray
+    mask: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+    def count(self) -> jnp.ndarray:
+        return jnp.sum(self.mask.astype(jnp.int32))
+
+
+def make_grid(
+    batch: jnp.ndarray,
+    coords: jnp.ndarray,
+    mask: jnp.ndarray,
+    bits: BitLayout = DEFAULT_BITS,
+    dedup: bool = True,
+) -> Tuple[SparseGrid, jnp.ndarray]:
+    """Build a canonical SparseGrid from (possibly unsorted, possibly
+    duplicated) voxel coordinates.
+
+    Duplicates (same packed key) are merged when ``dedup``; the returned
+    ``inverse`` maps each input row to its grid row (-1 for invalid inputs),
+    which callers use to pool point features into voxels.
+
+    Returns:
+      (grid, inverse [N_in] int32)
+    """
+    keys = pack_coords(batch, coords, bits, extra_invalid=jnp.logical_not(mask))
+    order = jnp.argsort(keys)
+    skeys = keys[order]
+    if dedup:
+        first = jnp.concatenate(
+            [jnp.ones((1,), dtype=bool), skeys[1:] != skeys[:-1]]
+        )
+        first = first & (skeys != INVALID_KEY)
+        # Position of each sorted row's representative among the uniques.
+        uidx = jnp.cumsum(first.astype(jnp.int32)) - 1
+        n = keys.shape[0]
+        out_keys = jnp.full((n,), INVALID_KEY, dtype=jnp.uint32)
+        out_keys = out_keys.at[jnp.where(first, uidx, n)].set(skeys, mode="drop")
+        out_batch = jnp.full((n,), -1, dtype=jnp.int32)
+        out_batch = out_batch.at[jnp.where(first, uidx, n)].set(batch[order], mode="drop")
+        out_coords = jnp.zeros((n, 3), dtype=jnp.int32)
+        out_coords = out_coords.at[jnp.where(first, uidx, n)].set(coords[order], mode="drop")
+        out_mask = out_keys != INVALID_KEY
+        # inverse: input row -> unique row.
+        inv_sorted = jnp.where(skeys != INVALID_KEY, uidx, -1)
+        inverse = jnp.zeros((n,), dtype=jnp.int32).at[order].set(inv_sorted)
+        grid = SparseGrid(out_coords, out_batch, out_keys, out_mask)
+        return grid, inverse
+    else:
+        grid = SparseGrid(
+            coords[order],
+            jnp.where(keys[order] != INVALID_KEY, batch[order], -1),
+            skeys,
+            skeys != INVALID_KEY,
+        )
+        n = keys.shape[0]
+        inverse = (
+            jnp.zeros((n,), dtype=jnp.int32)
+            .at[order]
+            .set(jnp.arange(n, dtype=jnp.int32))
+        )
+        inverse = jnp.where(keys != INVALID_KEY, inverse, -1)
+        return grid, inverse
+
+
+def same_level_map(
+    grid: SparseGrid,
+    kernel_offsets: np.ndarray = KERNEL_OFFSETS_K3,
+    bits: BitLayout = DEFAULT_BITS,
+) -> jnp.ndarray:
+    """Kernel map for a stride-1 (submanifold) conv: out row i gathers input
+    rows ``map[i, k]`` located at ``coords[i] + offsets[k]``.
+
+    Returns [N, K] int32 (-1 = no neighbor / padding row).
+    """
+    n = grid.capacity
+    k = kernel_offsets.shape[0]
+    offs = jnp.asarray(kernel_offsets)  # [K, 3]
+    q_coords = grid.coords[:, None, :] + offs[None, :, :]  # [N, K, 3]
+    q_batch = jnp.broadcast_to(grid.batch[:, None], (n, k))
+    invalid = jnp.broadcast_to(jnp.logical_not(grid.mask)[:, None], (n, k))
+    q_keys = pack_coords(
+        q_batch.reshape(-1), q_coords.reshape(-1, 3), bits, extra_invalid=invalid.reshape(-1)
+    )
+    return lookup(grid.keys, q_keys).reshape(n, k)
+
+
+def downsample(
+    fine: SparseGrid,
+    capacity: int,
+    bits: BitLayout = DEFAULT_BITS,
+) -> Tuple[SparseGrid, jnp.ndarray]:
+    """Stride-2 coordinate downsampling: coarse coords = floor(fine / 2).
+
+    Mirrors ME's stride-2 output-coordinate generation
+    (``unique(floor(in/2s)*2s)``). ``capacity`` is the static row budget of
+    the coarse level; overflowing voxels (beyond capacity after unique) are
+    dropped deterministically (highest keys first) - size capacities so this
+    never triggers in practice (a warning metric is exposed by callers).
+
+    Returns:
+      (coarse grid, parent [N_fine] int32 map fine row -> coarse row, -1 pad)
+    """
+    coarse_coords = jnp.floor_divide(fine.coords, 2)
+    keys = pack_coords(
+        fine.batch, coarse_coords, bits, extra_invalid=jnp.logical_not(fine.mask)
+    )
+    order = jnp.argsort(keys)
+    skeys = keys[order]
+    first = jnp.concatenate([jnp.ones((1,), dtype=bool), skeys[1:] != skeys[:-1]])
+    first = first & (skeys != INVALID_KEY)
+    uidx = jnp.cumsum(first.astype(jnp.int32)) - 1  # [N_fine]
+    out_keys = jnp.full((capacity,), INVALID_KEY, dtype=jnp.uint32)
+    tgt = jnp.where(first & (uidx < capacity), uidx, capacity)
+    out_keys = out_keys.at[tgt].set(skeys, mode="drop")
+    out_batch = jnp.full((capacity,), -1, dtype=jnp.int32)
+    out_batch = out_batch.at[tgt].set(fine.batch[order], mode="drop")
+    out_coords = jnp.zeros((capacity, 3), dtype=jnp.int32)
+    out_coords = out_coords.at[tgt].set(coarse_coords[order], mode="drop")
+    coarse = SparseGrid(out_coords, out_batch, out_keys, out_keys != INVALID_KEY)
+
+    parent_sorted = jnp.where((skeys != INVALID_KEY) & (uidx < capacity), uidx, -1)
+    n_fine = fine.capacity
+    parent = jnp.zeros((n_fine,), dtype=jnp.int32).at[order].set(parent_sorted)
+    return coarse, parent
+
+
+def down_map(
+    fine: SparseGrid,
+    coarse: SparseGrid,
+    kernel_offsets: np.ndarray = KERNEL_OFFSETS_K3,
+    bits: BitLayout = DEFAULT_BITS,
+) -> jnp.ndarray:
+    """Kernel map for a stride-2 conv: coarse out row i gathers fine rows at
+    ``2 * coarse_coords[i] + offsets[k]`` (ME stride-2 kernel-3 semantics in
+    stride units).
+
+    Returns [N_coarse, K] int32 into fine rows.
+    """
+    n = coarse.capacity
+    k = kernel_offsets.shape[0]
+    offs = jnp.asarray(kernel_offsets)
+    q_coords = 2 * coarse.coords[:, None, :] + offs[None, :, :]
+    q_batch = jnp.broadcast_to(coarse.batch[:, None], (n, k))
+    invalid = jnp.broadcast_to(jnp.logical_not(coarse.mask)[:, None], (n, k))
+    q_keys = pack_coords(
+        q_batch.reshape(-1), q_coords.reshape(-1, 3), bits, extra_invalid=invalid.reshape(-1)
+    )
+    return lookup(fine.keys, q_keys).reshape(n, k)
+
+
+def up_map(
+    fine: SparseGrid,
+    coarse: SparseGrid,
+    kernel_offsets: np.ndarray = KERNEL_OFFSETS_K3,
+    bits: BitLayout = DEFAULT_BITS,
+) -> jnp.ndarray:
+    """Kernel map for a stride-2 *transpose* conv writing onto the cached fine
+    coords (ME's coordinate-map reuse): fine out row i gathers coarse rows at
+    ``(fine_coords[i] + offsets[k]) / 2`` where divisible.
+
+    Weight sharing is the adjoint of :func:`down_map`: the connection
+    fine f <- coarse c exists iff ``2c - f = -off``, so using offset index k
+    here corresponds to down-conv weight at the *negated* offset; callers that
+    import reference checkpoints must flip the K axis accordingly.
+
+    Returns [N_fine, K] int32 into coarse rows.
+    """
+    n = fine.capacity
+    k = kernel_offsets.shape[0]
+    offs = jnp.asarray(kernel_offsets)
+    cand = fine.coords[:, None, :] + offs[None, :, :]  # [N, K, 3]
+    # Divisibility by 2 (floor semantics for negatives are fine because we
+    # explicitly test the remainder).
+    rem = cand - 2 * jnp.floor_divide(cand, 2)
+    divisible = jnp.all(rem == 0, axis=-1)  # [N, K]
+    q_coords = jnp.floor_divide(cand, 2)
+    q_batch = jnp.broadcast_to(fine.batch[:, None], (n, k))
+    invalid = jnp.logical_not(
+        jnp.broadcast_to(fine.mask[:, None], (n, k)) & divisible
+    )
+    q_keys = pack_coords(
+        q_batch.reshape(-1), q_coords.reshape(-1, 3), bits, extra_invalid=invalid.reshape(-1)
+    )
+    return lookup(coarse.keys, q_keys).reshape(n, k)
