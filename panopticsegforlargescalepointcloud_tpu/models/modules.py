@@ -1,0 +1,161 @@
+"""Flax building blocks for the sparse 3D UNet backbone.
+
+Structural equivalents (not translations) of the reference's MinkowskiEngine
+blocks (``/root/reference/torch_points3d/modules/MinkowskiEngine/
+api_modules.py``: ResBlock 9-82, ResNetDown 235-285, ResNetUp 288-311) and
+the point-wise ``MLP`` helper (``core/common_modules/base_modules.py:35-45``:
+Linear -> BatchNorm -> LeakyReLU(0.2) per layer).
+
+Every module operates on padded [N, C] voxel features plus a valid mask, and
+receives pre-built kernel maps from :mod:`..ops.hierarchy` - so the module
+tree is pure compute, shared topology.
+
+Init mirrors the reference: kaiming-normal fan_out for conv kernels
+(``applications/minkowski.py:105-111``), BN gamma=1 beta=0.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.conv import sparse_conv
+from .norm import MaskedBatchNorm
+
+# kaiming_normal with fan_out over the (K * Cin, Cout) matrix: variance
+# scaling w/ scale=2 (relu), fan_out, normal.
+conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+
+
+class SparseConv(nn.Module):
+    """A single sparse convolution through a kernel map. Weights [K, Cin, Cout]."""
+
+    features: int
+    kernel_volume: int = 27
+    use_bias: bool = False
+    gemm_mode: str = "fused"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, nbr_idx: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        w = self.param(
+            "kernel", conv_init, (self.kernel_volume, cin, self.features), jnp.float32
+        )
+        out = sparse_conv(x, nbr_idx, w.astype(x.dtype), mode=self.gemm_mode)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            out = out + b.astype(out.dtype)
+        return out
+
+
+class ConvBNReLU(nn.Module):
+    features: int
+    kernel_volume: int = 27
+    gemm_mode: str = "fused"
+
+    @nn.compact
+    def __call__(self, x, nbr_idx, mask, train: bool, momentum=0.1):
+        h = SparseConv(self.features, self.kernel_volume, gemm_mode=self.gemm_mode)(x, nbr_idx)
+        h = MaskedBatchNorm()(h, mask, train, momentum)
+        return nn.relu(h)
+
+
+class ResBlock(nn.Module):
+    """conv3-BN-ReLU-conv3-BN-ReLU + (identity | 1x1conv-BN) shortcut.
+
+    Note the reference applies ReLU *before* the residual add (post-activation
+    on the branch, none after the sum) - reproduced here.
+    """
+
+    features: int
+    gemm_mode: str = "fused"
+
+    @nn.compact
+    def __call__(self, x, same_map, mask, train: bool, momentum=0.1):
+        h = ConvBNReLU(self.features, gemm_mode=self.gemm_mode)(x, same_map, mask, train, momentum)
+        h = ConvBNReLU(self.features, gemm_mode=self.gemm_mode)(h, same_map, mask, train, momentum)
+        if x.shape[-1] != self.features:
+            # 1x1 conv == pointwise dense (kernel volume 1, offset (0,0,0))
+            sc = nn.Dense(self.features, use_bias=False, kernel_init=conv_init)(x)
+            sc = MaskedBatchNorm()(sc, mask, train, momentum)
+        else:
+            sc = x
+        return h + sc
+
+
+class ResNetDown(nn.Module):
+    """Strided (or submanifold) conv-BN-ReLU followed by N ResBlocks.
+
+    conv_nn = (cin, cout). When stride > 1 the strided conv keeps cin channels
+    (matching the reference's quirk at api_modules.py:251-254) and the first
+    ResBlock widens to cout.
+    """
+
+    conv_nn: Sequence[int]
+    stride: int = 2
+    num_blocks: int = 2
+    gemm_mode: str = "fused"
+
+    @nn.compact
+    def __call__(self, x, conv_map, same_map_out, mask_out, train: bool, momentum=0.1):
+        """Args:
+        x: input features at the source level.
+        conv_map: kernel map for the first conv (down_map if stride 2, else
+          same-level map); rows index the *output* level.
+        same_map_out: same-level map at the output level (for the ResBlocks).
+        mask_out: valid mask at the output level.
+        """
+        cin, cout = self.conv_nn
+        first_out = cin if self.stride > 1 else cout
+        h = ConvBNReLU(first_out, gemm_mode=self.gemm_mode)(
+            x, conv_map, mask_out, train, momentum
+        )
+        for _ in range(self.num_blocks):
+            h = ResBlock(cout, gemm_mode=self.gemm_mode)(
+                h, same_map_out, mask_out, train, momentum
+            )
+        return h
+
+
+class ResNetUp(nn.Module):
+    """Concat skip, then transpose conv-BN-ReLU + N ResBlocks (reference
+    ResNetUp: cat happens at the coarse level *before* upsampling)."""
+
+    conv_nn: Sequence[int]
+    stride: int = 2
+    num_blocks: int = 2
+    gemm_mode: str = "fused"
+
+    @nn.compact
+    def __call__(
+        self, x, skip, conv_map, same_map_out, mask_out, train: bool, momentum=0.1
+    ):
+        if skip is not None:
+            x = jnp.concatenate([x, skip], axis=-1)
+        return ResNetDown(
+            conv_nn=self.conv_nn,
+            stride=self.stride,
+            num_blocks=self.num_blocks,
+            gemm_mode=self.gemm_mode,
+            name="up",
+        )(x, conv_map, same_map_out, mask_out, train, momentum)
+
+
+class PointMLP(nn.Module):
+    """Per-point MLP: [Dense -> MaskedBN -> LeakyReLU(0.2)] per layer,
+    mirroring the reference MLP helper. channels excludes the input dim."""
+
+    channels: Sequence[int]
+    use_bias: bool = True
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool, momentum=0.1):
+        for c in self.channels:
+            x = nn.Dense(c, use_bias=self.use_bias)(x)
+            x = MaskedBatchNorm()(x, mask, train, momentum)
+            x = nn.leaky_relu(x, self.negative_slope)
+        m = mask.astype(x.dtype)[:, None]
+        return x * m

@@ -1,0 +1,74 @@
+"""Masked normalization layers for padded sparse tensors.
+
+The reference uses ``ME.MinkowskiBatchNorm`` (plain BN over all voxel rows,
+``/root/reference/torch_points3d/modules/MinkowskiEngine/api_modules.py:40``)
+and a BN-momentum decay scheduler that mutates module momentum in place
+(``core/schedulers/bn_schedulers.py``). Here BN must ignore padding rows, so
+statistics are computed over the valid mask; momentum is a *call argument* so
+the scheduler is just a value in the train state (functionally pure).
+
+Convention: `momentum` follows torch (new = (1-m)*running + m*batch), because
+the reference's BN scheduler config speaks torch momentum values.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over valid rows of a padded [N, C] voxel feature tensor.
+
+    Padding rows are zeroed on output (beta would otherwise leak into them).
+    Statistics are fp32 regardless of input dtype.
+    """
+
+    epsilon: float = 1e-5
+    sync_axis: str | None = None  # e.g. "data" for cross-device sync BN
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: jnp.ndarray,
+        train: bool,
+        momentum: jnp.ndarray | float = 0.1,
+    ) -> jnp.ndarray:
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        m = mask.astype(jnp.float32)[:, None]
+        xf = x.astype(jnp.float32) * m
+        if train:
+            cnt = jnp.sum(m)
+            sx = jnp.sum(xf, axis=0)
+            sxx = jnp.sum(xf * xf, axis=0)
+            if self.sync_axis is not None:
+                import jax
+
+                cnt = jax.lax.psum(cnt, self.sync_axis)
+                sx = jax.lax.psum(sx, self.sync_axis)
+                sxx = jax.lax.psum(sxx, self.sync_axis)
+            cnt = jnp.maximum(cnt, 1.0)
+            mean = sx / cnt
+            var = jnp.maximum(sxx / cnt - mean * mean, 0.0)
+            if not self.is_initializing():
+                mom = jnp.asarray(momentum, jnp.float32)
+                ra_mean.value = (1.0 - mom) * ra_mean.value + mom * mean
+                ra_var.value = (1.0 - mom) * ra_var.value + mom * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x.astype(jnp.float32) - mean) * jax_rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return (y * m).astype(x.dtype)
+
+
+def jax_rsqrt(v: jnp.ndarray) -> jnp.ndarray:
+    import jax
+
+    return jax.lax.rsqrt(v)

@@ -1,0 +1,153 @@
+"""Sparse 3D UNet / Encoder backbones built from YAML channel plans.
+
+Structural equivalent of the reference's MinkowskiUnet / MinkowskiEncoder
+(``/root/reference/torch_points3d/applications/minkowski.py:129-196``) and the
+channel plans in ``conf/models/panoptic/*.yaml`` (paper backbone: 7 ResNetDown
+levels, strides [1,2,2,2,2,2,2], N=2 ResBlocks, then 7 ResNetUp with skip
+concatenation; see SURVEY.md §2.5).
+
+Skip wiring (minkowski.py:159-196): every down output except the last is
+pushed; ups pop in reverse - the first up gets no skip; ResNetUp concatenates
+the skip at the *coarse* level before the transpose conv.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.hierarchy import Hierarchy
+from ..ops.scatter import segment_max
+from .modules import PointMLP, ResNetDown, ResNetUp
+
+
+class SparseUNet(nn.Module):
+    """UNet over a prebuilt hierarchy.
+
+    down_channels[i] = (cin, cout) for down module i; down_strides[i] in {1,2}.
+    up_channels / up_strides likewise; the number of stride-2 down transitions
+    must equal the hierarchy's depth and the number of stride-2 ups.
+    """
+
+    down_channels: Tuple[Tuple[int, int], ...]
+    up_channels: Tuple[Tuple[int, int], ...]
+    down_strides: Tuple[int, ...]
+    up_strides: Tuple[int, ...]
+    num_blocks: int = 2
+    gemm_mode: str = "fused"
+
+    @property
+    def output_nc(self) -> int:
+        return self.up_channels[-1][1]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, hier: Hierarchy, train: bool, momentum=0.1):
+        level = 0
+        skips = []
+        n_down = len(self.down_channels)
+        for i, (nn_ch, s) in enumerate(zip(self.down_channels, self.down_strides)):
+            if s == 1:
+                conv_map = hier.same_maps[level]
+                out_level = level
+            else:
+                conv_map = hier.down_maps[level]
+                out_level = level + 1
+            h = ResNetDown(
+                conv_nn=nn_ch,
+                stride=s,
+                num_blocks=self.num_blocks,
+                gemm_mode=self.gemm_mode,
+                name=f"down_{i}",
+            )(
+                x,
+                conv_map,
+                hier.same_maps[out_level],
+                hier.grids[out_level].mask,
+                train,
+                momentum,
+            )
+            level = out_level
+            x = h
+            if i < n_down - 1:
+                skips.append((h, level))
+        skips.append((None, level))
+
+        for i, (nn_ch, s) in enumerate(zip(self.up_channels, self.up_strides)):
+            skip, skip_level = skips.pop()
+            assert skip_level == level, (
+                f"up module {i}: skip level {skip_level} != current level {level}"
+            )
+            if s == 1:
+                conv_map = hier.same_maps[level]
+                out_level = level
+            else:
+                conv_map = hier.up_maps[level - 1]
+                out_level = level - 1
+            x = ResNetUp(
+                conv_nn=nn_ch,
+                stride=s,
+                num_blocks=self.num_blocks,
+                gemm_mode=self.gemm_mode,
+                name=f"up_{i}",
+            )(
+                x,
+                skip,
+                conv_map,
+                hier.same_maps[out_level],
+                hier.grids[out_level].mask,
+                train,
+                momentum,
+            )
+            level = out_level
+        assert level == 0, f"UNet did not return to level 0 (at {level})"
+        return x
+
+
+class SparseEncoder(nn.Module):
+    """Encoder: stride-2 ResNetDowns then a global max-pool + MLP head
+    (reference ScorerEncoder: downs + GlobalBaseModule(aggr=max),
+    ``core/base_conv/message_passing.py:132-151``).
+
+    Returns one feature row per batch sample: [num_segments, C].
+    """
+
+    down_channels: Tuple[Tuple[int, int], ...]
+    down_strides: Tuple[int, ...]
+    global_nn: Tuple[int, ...]  # e.g. (in_feat,) output channels of global MLP
+    num_segments: int
+    num_blocks: int = 2
+    gemm_mode: str = "fused"
+
+    @property
+    def output_nc(self) -> int:
+        return self.global_nn[-1]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, hier: Hierarchy, train: bool, momentum=0.1):
+        level = 0
+        for i, (nn_ch, s) in enumerate(zip(self.down_channels, self.down_strides)):
+            if s == 1:
+                conv_map, out_level = hier.same_maps[level], level
+            else:
+                conv_map, out_level = hier.down_maps[level], level + 1
+            x = ResNetDown(
+                conv_nn=nn_ch,
+                stride=s,
+                num_blocks=self.num_blocks,
+                gemm_mode=self.gemm_mode,
+                name=f"down_{i}",
+            )(
+                x,
+                conv_map,
+                hier.same_maps[out_level],
+                hier.grids[out_level].mask,
+                train,
+                momentum,
+            )
+            level = out_level
+        grid = hier.grids[level]
+        x = PointMLP(self.global_nn)(x, grid.mask, train, momentum)
+        seg = jnp.where(grid.mask, grid.batch, -1)
+        return segment_max(x, seg, self.num_segments, fill=0.0)
