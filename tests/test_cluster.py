@@ -1,0 +1,162 @@
+"""Clustering tests: radius neighbors vs brute force, region grow vs
+scipy connected components, mean-shift vs sklearn on synthetic blobs."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.sparse import coo_matrix
+from scipy.sparse.csgraph import connected_components
+
+from panopticsegforlargescalepointcloud_tpu.cluster import (
+    mean_shift,
+    radius_neighbors,
+    region_grow,
+)
+from panopticsegforlargescalepointcloud_tpu.cluster.meanshift import pack_by_sample
+
+
+class TestRadiusNeighbors:
+    def test_vs_brute_force(self, rng):
+        n = 200
+        pos = rng.random((n, 3)).astype(np.float32) * 4
+        batch = rng.integers(0, 2, size=n).astype(np.int32)
+        valid = np.ones(n, bool)
+        valid[-20:] = False
+        r = 0.5
+        nbr, d2 = radius_neighbors(
+            jnp.asarray(pos), jnp.asarray(batch), jnp.asarray(valid), r,
+            k=64, cell_cap=64,
+        )
+        nbr = np.asarray(nbr)
+        for i in range(n):
+            got = set(nbr[i][nbr[i] >= 0].tolist())
+            if not valid[i]:
+                assert not got
+                continue
+            dd = np.linalg.norm(pos - pos[i], axis=1)
+            expect = set(
+                np.where((dd <= r) & (batch == batch[i]) & valid)[0].tolist()
+            )
+            assert got == expect, f"row {i}: {got ^ expect}"
+
+
+class TestRegionGrow:
+    def make_scene(self, rng, n=300):
+        pos = rng.random((n, 3)).astype(np.float32) * 6
+        batch = rng.integers(0, 2, size=n).astype(np.int32)
+        sem = rng.integers(0, 3, size=n).astype(np.int32)
+        mask = np.ones(n, bool)
+        mask[-30:] = False
+        # exclude class 0 as "stuff"
+        grow = mask & (sem != 0)
+        return pos, batch, sem, mask, grow
+
+    def scipy_components(self, pos, batch, sem, grow, r):
+        n = len(pos)
+        idx = np.where(grow)[0]
+        rows, cols = [], []
+        for a in idx:
+            for b in idx:
+                if (
+                    a != b
+                    and batch[a] == batch[b]
+                    and sem[a] == sem[b]
+                    and np.linalg.norm(pos[a] - pos[b]) <= r
+                ):
+                    rows.append(a)
+                    cols.append(b)
+        g = coo_matrix((np.ones(len(rows)), (rows, cols)), shape=(n, n))
+        ncomp, lab = connected_components(g, directed=False)
+        return lab
+
+    @pytest.mark.parametrize("min_size", [1, 5])
+    def test_vs_scipy(self, rng, min_size):
+        pos, batch, sem, mask, grow = self.make_scene(rng)
+        r = 0.6
+        res = region_grow(
+            jnp.asarray(pos), jnp.asarray(sem), jnp.asarray(batch),
+            jnp.asarray(grow), radius=r, max_proposals=300,
+            min_cluster_size=min_size, k_neighbors=64, cell_cap=64,
+        )
+        got = np.asarray(res.point_prop)
+        lab = self.scipy_components(pos, batch, sem, grow, r)
+        # build expected grouping (components of grow points, size >= min)
+        comp_sizes = {}
+        for i in np.where(grow)[0]:
+            comp_sizes[lab[i]] = comp_sizes.get(lab[i], 0) + 1
+        expect_grouped = {}
+        for i in np.where(grow)[0]:
+            if comp_sizes[lab[i]] >= min_size:
+                expect_grouped.setdefault(lab[i], set()).add(i)
+        # got grouping
+        got_grouped = {}
+        for i in range(len(pos)):
+            if got[i] >= 0:
+                got_grouped.setdefault(got[i], set()).add(i)
+        assert set(map(frozenset, got_grouped.values())) == set(
+            map(frozenset, expect_grouped.values())
+        )
+        # non-grow points must not be clustered
+        assert np.all(got[~grow] == -1)
+        # prop_batch consistent
+        pb = np.asarray(res.prop_batch)
+        for pid, members in got_grouped.items():
+            assert all(batch[m] == pb[pid] for m in members)
+
+
+class TestMeanShift:
+    def test_blobs_vs_sklearn(self, rng):
+        from sklearn.cluster import MeanShift
+
+        # 3 well-separated blobs in 5-D per sample
+        b, npts, e = 2, 120, 5
+        data = np.zeros((b, npts, e), np.float32)
+        valid = np.zeros((b, npts), bool)
+        true_labels = np.zeros((b, npts), np.int64)
+        for s in range(b):
+            centers = rng.normal(size=(3, e)) * 4.0
+            n_valid = 100 if s == 0 else 90
+            pts, tl = [], []
+            for ci in range(3):
+                k = n_valid // 3
+                pts.append(centers[ci] + 0.15 * rng.normal(size=(k, e)))
+                tl += [ci] * k
+            pts = np.concatenate(pts).astype(np.float32)
+            data[s, : len(pts)] = pts
+            valid[s, : len(pts)] = True
+            true_labels[s, : len(pts)] = tl
+
+        bw = 0.6
+        res = mean_shift(jnp.asarray(data), jnp.asarray(valid), bandwidth=bw)
+        labels = np.asarray(res.labels)
+        for s in range(b):
+            v = valid[s]
+            ours = labels[s][v]
+            assert np.all(ours >= 0)
+            ref = MeanShift(bandwidth=bw, bin_seeding=True).fit(data[s][v]).labels_
+            # same partition (up to relabeling)
+            def canon(lab):
+                groups = {}
+                for i, l in enumerate(lab):
+                    groups.setdefault(l, set()).add(i)
+                return set(map(frozenset, groups.values()))
+
+            assert canon(ours) == canon(ref)
+            assert int(res.num_clusters[s]) == len(set(ref.tolist()))
+
+    def test_pack_by_sample(self, rng):
+        n, b, cap, e = 50, 3, 32, 4
+        x = rng.normal(size=(n, e)).astype(np.float32)
+        batch = rng.integers(0, b, size=n).astype(np.int32)
+        mask = rng.random(n) > 0.2
+        dense, dvalid, src = pack_by_sample(
+            jnp.asarray(x), jnp.asarray(batch), jnp.asarray(mask), b, cap
+        )
+        dense, dvalid, src = map(np.asarray, (dense, dvalid, src))
+        for s in range(b):
+            rows = np.where(mask & (batch == s))[0]
+            got_rows = src[s][dvalid[s]]
+            assert set(got_rows.tolist()) == set(rows.tolist())
+            for slot in np.where(dvalid[s])[0]:
+                np.testing.assert_array_equal(dense[s, slot], x[src[s, slot]])
+        assert np.all(src[~dvalid] == -1)
