@@ -35,6 +35,18 @@ def paper_backbone_plan(feat: int = 4, in_feat: int = 16):
     )
 
 
+def tiny_backbone_plan(feat: int = 4, in_feat: int = 8):
+    """A 3-level miniature of the paper backbone (CI / smoke tests)."""
+    f = in_feat
+    return dict(
+        down_channels=((feat, f), (f, 2 * f), (2 * f, 3 * f)),
+        up_channels=((3 * f, 2 * f), (2 * 2 * f, f), (2 * f, f)),
+        down_strides=(1, 2, 2),
+        up_strides=(2, 2, 1),
+        num_blocks=1,
+    )
+
+
 def scorer_unet_plan(in_feat: int = 16):
     """ScorerUnet: 2 stride-2 downs, 2 ups (yaml lines 128-146)."""
     f = in_feat

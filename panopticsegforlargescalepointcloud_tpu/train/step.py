@@ -1,0 +1,268 @@
+"""Jitted forward / train steps for PointGroup3Heads.
+
+The reference's per-batch body (``trainer.py:202-229`` + BaseModel.
+optimize_parameters2) becomes two compiled step functions:
+
+* the *prepare* step (epoch <= prepare_epoch): backbone + heads + point losses;
+* the *full* step: + on-device clustering + ScoreNet + score/mask losses.
+
+Both are pure functions of (TrainState, batch arrays); the trainer picks which
+to call per epoch (two compilations instead of traced control flow around the
+expensive clustering stage, mirroring the reference's epoch gate at
+PointGroup3heads.py:116).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.pointgroup3heads import (
+    PanopticConfig,
+    PanopticOutput,
+    PointGroup3HeadsNet,
+    build_proposals,
+    panoptic_losses,
+    scorer_inputs,
+)
+from ..ops.hierarchy import Hierarchy, build_hierarchy
+from ..ops.sparse import SparseGrid, make_grid
+
+class DeviceBatch(NamedTuple):
+    """Canonical (grid-ordered) device batch: the VoxelBatch arrays permuted
+    into key-sorted SparseGrid row order."""
+
+    grid: SparseGrid
+    feats: jnp.ndarray
+    pos: jnp.ndarray
+    y: jnp.ndarray
+    instance_labels: jnp.ndarray
+    instance_mask: jnp.ndarray
+    vote_label: jnp.ndarray
+    origin_id: jnp.ndarray
+
+
+def canonicalize(coords, batch, mask, feats, pos, y, instance_labels, vote_label, origin_id) -> DeviceBatch:
+    """Build the canonical sparse grid and permute point arrays to its order."""
+    grid, inverse = make_grid(batch, coords, mask)
+    n = coords.shape[0]
+    tgt = jnp.where(mask, inverse, n)
+
+    def reorder(arr, fill):
+        shape = (n,) + arr.shape[1:]
+        out = jnp.full(shape, fill, dtype=arr.dtype)
+        return out.at[tgt].set(arr, mode="drop")
+
+    inst = reorder(instance_labels, 0)
+    return DeviceBatch(
+        grid=grid,
+        feats=reorder(feats, 0),
+        pos=reorder(pos, 0),
+        y=reorder(y, -1),
+        instance_labels=inst,
+        instance_mask=(inst > 0) & grid.mask,
+        vote_label=reorder(vote_label, 0),
+        origin_id=reorder(origin_id, -1),
+    )
+
+
+def panoptic_forward(
+    cfg: PanopticConfig,
+    model: PointGroup3HeadsNet,
+    variables: Dict[str, Any],
+    db: DeviceBatch,
+    hier: Hierarchy,
+    train: bool,
+    with_clustering: bool,
+    momentum=0.1,
+) -> Tuple[PanopticOutput, Dict[str, Any]]:
+    """Returns (output, updated batch_stats)."""
+    mutable = ["batch_stats"] if train else False
+    res = model.apply(
+        variables,
+        db.feats,
+        hier,
+        train,
+        momentum,
+        method=PointGroup3HeadsNet.backbone_heads,
+        mutable=mutable,
+    )
+    if train:
+        (x, sem, off, emb), upd = res
+        variables = {**variables, "batch_stats": upd["batch_stats"]}
+    else:
+        x, sem, off, emb = res
+
+    props = None
+    scores = None
+    member_mask_scores = None
+    if with_clustering:
+        props = build_proposals(
+            cfg, db.pos, off, emb, sem, db.grid.batch, db.grid.mask
+        )
+        if cfg.use_score_net:
+            sg, shier, sfeats, member_row = scorer_inputs(
+                cfg, props, db.grid.coords, x
+            )
+            res2 = model.apply(
+                variables,
+                sfeats,
+                shier,
+                sg.batch,
+                cfg.total_props,
+                train,
+                momentum,
+                method=PointGroup3HeadsNet.score,
+                mutable=mutable,
+            )
+            if train:
+                (scores, mask_logits), upd2 = res2
+                variables = {**variables, "batch_stats": upd2["batch_stats"]}
+            else:
+                scores, mask_logits = res2
+            if mask_logits is not None:
+                safe = jnp.where(member_row >= 0, member_row, 0)
+                member_mask_scores = jnp.take(mask_logits, safe)
+
+    out = PanopticOutput(
+        semantic_logits=sem,
+        offset_logits=off,
+        embed_logits=emb,
+        backbone_feats=x,
+        proposals=props,
+        cluster_scores=scores,
+        mask_scores=member_mask_scores,
+    )
+    return out, variables.get("batch_stats", {})
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    bn_momentum: jnp.ndarray  # torch-convention momentum, schedulable
+
+
+def init_state(
+    cfg: PanopticConfig,
+    model: PointGroup3HeadsNet,
+    tx: optax.GradientTransformation,
+    example: DeviceBatch,
+    hier: Hierarchy,
+    rngkey,
+    bn_momentum: float = 0.1,
+) -> TrainState:
+    props = build_proposals(
+        cfg,
+        example.pos,
+        jnp.zeros_like(example.pos),
+        jnp.zeros((example.pos.shape[0], cfg.embed_dim), example.feats.dtype),
+        jnp.zeros((example.pos.shape[0], cfg.num_classes), example.feats.dtype),
+        example.grid.batch,
+        example.grid.mask,
+    )
+    sg, shier, sfeats, _ = scorer_inputs(
+        cfg, props, example.grid.coords, jnp.zeros((example.pos.shape[0], cfg.in_feat))
+    )
+    variables = model.init(
+        rngkey, example.feats, hier, sfeats, shier, sg.batch, False
+    )
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+        bn_momentum=jnp.asarray(bn_momentum, jnp.float32),
+    )
+
+
+def make_train_step(
+    cfg: PanopticConfig,
+    model: PointGroup3HeadsNet,
+    tx: optax.GradientTransformation,
+    with_clustering: bool,
+    grad_clip_value: float | None = None,
+):
+    """Returns a jitted train step: (state, raw batch arrays) -> (state, metrics)."""
+
+    def step(state: TrainState, arrays) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        db = canonicalize(*arrays)
+        hier = build_hierarchy(db.grid, cfg.num_down)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            out, new_stats = panoptic_forward(
+                cfg, model, variables, db, hier,
+                train=True, with_clustering=with_clustering,
+                momentum=state.bn_momentum,
+            )
+            total, losses = panoptic_losses(
+                cfg,
+                out,
+                db.y,
+                db.vote_label,
+                db.instance_labels,
+                db.instance_mask,
+                db.grid.batch,
+                db.grid.mask,
+            )
+            return total, (losses, new_stats)
+
+        (_, (losses, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        if grad_clip_value is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.clip(g, -grad_clip_value, grad_clip_value), grads
+            )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        metrics = dict(losses)
+        metrics["hier_overflow"] = jnp.sum(hier.overflow)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_forward(cfg: PanopticConfig, model: PointGroup3HeadsNet, with_clustering: bool = True):
+    """Jitted inference: (params, batch_stats, arrays) -> (DeviceBatch, PanopticOutput)."""
+
+    def fwd(params, batch_stats, arrays):
+        db = canonicalize(*arrays)
+        hier = build_hierarchy(db.grid, cfg.num_down)
+        variables = {"params": params, "batch_stats": batch_stats}
+        out, _ = panoptic_forward(
+            cfg, model, variables, db, hier, train=False,
+            with_clustering=with_clustering,
+        )
+        return db, out
+
+    return jax.jit(fwd)
+
+
+def batch_arrays(vb) -> Tuple[jnp.ndarray, ...]:
+    """VoxelBatch (numpy) -> the positional array tuple steps consume."""
+    return (
+        jnp.asarray(vb.coords),
+        jnp.asarray(vb.batch),
+        jnp.asarray(vb.mask),
+        jnp.asarray(vb.feats),
+        jnp.asarray(vb.pos),
+        jnp.asarray(vb.y),
+        jnp.asarray(vb.instance_labels),
+        jnp.asarray(vb.vote_label),
+        jnp.asarray(vb.origin_id),
+    )
