@@ -1,0 +1,133 @@
+"""Data layer tests: PLY io roundtrip, voxelization semantics, label prep,
+dataset sampling and test tiling on a synthetic forest written to disk."""
+
+import os
+
+import numpy as np
+import pytest
+
+from panopticsegforlargescalepointcloud_tpu.data import (
+    TREEINS_SPEC,
+    PanopticFileDataset,
+    collate_tiles,
+    grid_sample,
+    read_ply,
+    read_treeins_format,
+    set_extra_labels,
+    write_ply,
+)
+
+
+class TestPly:
+    @pytest.mark.parametrize("text", [False, True])
+    def test_roundtrip(self, tmp_path, rng, text):
+        n = 100
+        pos = rng.random((n, 3)).astype(np.float32)
+        sem = rng.integers(0, 3, n).astype(np.int32)
+        tree = rng.integers(-1, 5, n).astype(np.int32)
+        path = str(tmp_path / "t.ply")
+        write_ply(path, [pos, sem, tree], ["x", "y", "z", "semantic_seg", "treeID"], text=text)
+        data = read_ply(path)
+        rtol = 1e-5 if text else 1e-7  # ascii writes %g (6 sig digits)
+        np.testing.assert_allclose(data["x"], pos[:, 0], rtol=rtol)
+        np.testing.assert_array_equal(data["semantic_seg"], sem)
+        np.testing.assert_array_equal(data["treeID"], tree)
+
+
+class TestVoxelize:
+    def test_last_mode_one_per_voxel(self, rng):
+        pos = rng.random((500, 3)).astype(np.float32) * 2
+        y = rng.integers(0, 3, 500).astype(np.int64)
+        out_pos, out = grid_sample(pos, {"y": y}, 0.5, mode="last", rng=rng)
+        keys = np.round(out_pos / 0.5).astype(int)
+        k = keys[:, 0] * 10000 + keys[:, 1] * 100 + keys[:, 2]
+        assert len(np.unique(k)) == len(k)
+        # representative carries its own label
+        assert set(np.unique(out["y"])) <= set(np.unique(y))
+
+    def test_mean_mode_majority_labels(self):
+        pos = np.array([[0.0, 0, 0], [0.01, 0, 0], [0.02, 0, 0], [1.0, 0, 0]], np.float32)
+        y = np.array([2, 2, 1, 0], np.int64)
+        out_pos, out = grid_sample(pos, {"y": y}, 0.5, mode="mean")
+        assert len(out_pos) == 2
+        i0 = np.argmin(out_pos[:, 0])
+        assert out["y"][i0] == 2  # majority
+        np.testing.assert_allclose(out_pos[i0, 0], 0.01, atol=1e-6)
+
+
+class TestLabels:
+    def test_set_extra_labels(self):
+        pos = np.array([[0.0, 0, 0], [2, 0, 0], [10, 0, 0], [12, 0, 0], [5, 5, 0]], np.float32)
+        y = np.array([1, 1, 1, 1, 0])
+        inst = np.array([4, 4, 9, 9, 3])
+        out = set_extra_labels(pos, y, inst, thing_classes=(1,))
+        assert out["num_instances"] == 2
+        assert out["instance_labels"][0] == out["instance_labels"][1] != 0
+        assert out["instance_labels"][2] == out["instance_labels"][3] != 0
+        assert out["instance_labels"][4] == 0  # stuff instance excluded
+        np.testing.assert_allclose(out["vote_label"][0], [1, 0, 0])
+        np.testing.assert_allclose(out["vote_label"][1], [-1, 0, 0])
+
+
+def make_forest_ply(path, rng, n_trees=5, extent=20.0):
+    pts, sem, tid = [], [], []
+    for t in range(n_trees):
+        c = rng.uniform(2, extent - 2, 2)
+        k = 200
+        xy = c + rng.normal(scale=0.5, size=(k, 2))
+        z = rng.uniform(0, 10, (k, 1))
+        pts.append(np.concatenate([xy, z], 1))
+        sem.append(np.full(k, 2))  # raw 'tree' = 2 -> shifted 1
+        tid.append(np.full(k, t))
+    k = 2000
+    ground = np.stack(
+        [rng.uniform(0, extent, k), rng.uniform(0, extent, k), rng.normal(scale=0.05, size=k)], 1
+    )
+    pts.append(ground)
+    sem.append(np.full(k, 1))  # raw 'non-tree' = 1 -> shifted 0
+    tid.append(np.full(k, -1))
+    pos = np.concatenate(pts).astype(np.float32)
+    write_ply(
+        path,
+        [pos, np.concatenate(sem).astype(np.int32), np.concatenate(tid).astype(np.int32)],
+        ["x", "y", "z", "semantic_seg", "treeID"],
+    )
+    return pos
+
+
+class TestDataset:
+    def test_treeins_end_to_end(self, tmp_path, rng):
+        ply = str(tmp_path / "forest.ply")
+        make_forest_ply(ply, rng)
+        pos, y, inst = read_treeins_format(ply)
+        assert set(np.unique(y)) <= {0, 1}
+        assert inst.min() >= 0
+
+        ds = PanopticFileDataset(
+            TREEINS_SPEC, [ply], grid_size=0.2, radius=4.0,
+            processed_dir=str(tmp_path / "proc"), rng=rng,
+        )
+        tile = ds.sample_train_tile(rng)
+        assert (tile["y"] == 1).any()  # has tree
+        assert tile["num_instances"] >= 1
+        assert tile["coords"].dtype == np.int32
+        assert tile["feats"].shape[1] == 4
+        assert len(tile["pos"]) == len(tile["coords"])
+        # vote labels point toward instance centers: mean |vote| < tile size
+        vm = np.abs(tile["vote_label"]).max()
+        assert vm < 12
+
+        vb = collate_tiles([tile], capacity=8192, num_tiles=1)
+        assert vb.mask.sum() == len(tile["pos"])
+
+        tiles = ds.test_tiles(0)
+        assert len(tiles) >= 4
+        covered = np.unique(np.concatenate([t[1] for t in tiles]))
+        # grid tiling covers every subsampled point at least once
+        assert len(covered) == len(ds.clouds[0]["pos"])
+        # cached reload
+        ds2 = PanopticFileDataset(
+            TREEINS_SPEC, [ply], grid_size=0.2, radius=4.0,
+            processed_dir=str(tmp_path / "proc"), rng=rng,
+        )
+        assert len(ds2.clouds[0]["pos"]) == len(ds.clouds[0]["pos"])
