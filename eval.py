@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Full-scene evaluation CLI - same contract as the reference eval.py:
+
+    python eval.py checkpoint_dir=outputs/run1 weight_name=latest \
+        data.files.test='[path/to/plot.ply]'
+
+Runs deterministic cylinder tiling, per-tile panoptic inference, vote
+accumulation + block merging, writes Semantic/Instance_results_forEval PLYs
+and per-file Evaluation_i.txt PQ reports.
+"""
+
+import logging
+import os
+import sys
+
+
+def main():
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    overrides = [a for a in sys.argv[1:] if "=" in a]
+    conf_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "conf")
+
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from panopticsegforlargescalepointcloud_tpu.config import (
+        load_config,
+        panoptic_config_from_yaml,
+    )
+    from panopticsegforlargescalepointcloud_tpu.data import PanopticFileDataset
+    from panopticsegforlargescalepointcloud_tpu.models.pointgroup3heads import (
+        PointGroup3HeadsNet,
+    )
+    from panopticsegforlargescalepointcloud_tpu.train.checkpoint import (
+        ModelCheckpoint,
+    )
+    from panopticsegforlargescalepointcloud_tpu.train.evaluator import (
+        FullSceneEvaluator,
+    )
+
+    cfg = load_config(conf_dir, overrides, root="eval.yaml")
+    ckpt_dir = cfg.get("checkpoint_dir")
+    if not ckpt_dir:
+        raise SystemExit("checkpoint_dir=... is required")
+    ckpt = ModelCheckpoint(ckpt_dir, run_config=None)
+    # Rebuild the model purely from the checkpoint's stored run config
+    # (reference ModelCheckpoint.create_model semantics) with CLI overrides on top.
+    run_cfg = dict(ckpt.run_config) or cfg
+    run_cfg.setdefault("data", {})
+    run_cfg["data"].update(cfg.get("data", {}))
+
+    backbone = str(run_cfg.get("backbone", "paper"))
+    pcfg, spec, _ = panoptic_config_from_yaml(run_cfg, backbone=backbone)
+    pcfg = dataclasses.replace(pcfg, num_samples=1)
+
+    files = run_cfg["data"].get("files", {}).get("test") or run_cfg["data"].get("fold")
+    if not files or not isinstance(files, list):
+        raise SystemExit("data.files.test='[...ply]' is required")
+
+    dataset = PanopticFileDataset(
+        spec,
+        files,
+        grid_size=float(run_cfg["data"].get("grid_size", 0.2)),
+        radius=float(run_cfg["data"].get("radius", 8)),
+        processed_dir=run_cfg["data"].get("processed_dir"),
+        keep_raw=True,
+    )
+    model = PointGroup3HeadsNet(pcfg)
+    weights = ckpt.get_weights(str(cfg.get("weight_name", "latest")))
+    import jax.numpy as jnp
+
+    params = jax.tree_util.tree_map(jnp.asarray, weights["params"])
+    stats = jax.tree_util.tree_map(jnp.asarray, weights["batch_stats"])
+
+    capacity = int(run_cfg["data"].get("voxel_capacity", 65536))
+    evaluator = FullSceneEvaluator(pcfg, model, params, stats, dataset, capacity)
+    reports = evaluator.run(
+        out_dir=str(cfg.get("out_dir", "eval_outputs")),
+        ply_output=bool(cfg.get("tracker_options", {}).get("make_submission", True)),
+        # the reference hard-codes the 0.1 IoU adoption threshold
+        # (panoptic_tracker_pointgroup_treeins.py:474); None selects it
+        th_merge=None,
+    )
+    import json
+
+    print(json.dumps(reports, indent=2))
+
+
+if __name__ == "__main__":
+    main()

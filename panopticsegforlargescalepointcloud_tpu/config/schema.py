@@ -1,0 +1,119 @@
+"""Config-dict -> typed model/training configuration.
+
+The equivalent of the reference's model-definition resolver + BaseModel
+option plumbing: the composed YAML tree (see conf/) is translated into the
+static :class:`~..models.pointgroup3heads.PanopticConfig` plus training
+hyperparameters. The five paper settings map as (README.md:185):
+
+  I   area4_ablation_19        mean-shift on embeddings only, no ScoreNet
+  II  area4_ablation_14        region-grow on pos+offset (cluster_type 1)
+  III area4_ablation_15        rg on pos + rg on pos+offset (cluster_type 2)
+  IV  area4_ablation_3heads_5  rg on pos+offset + mean-shift (cluster_type 5)
+  V   area4_ablation_3heads_6  rg pos + rg vote + mean-shift (cluster_type 6)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+from ..data.datasets import NPM3D_SPEC, TREEINS_SPEC, DatasetSpec
+from ..models.pointgroup3heads import PanopticConfig
+
+
+def dataset_spec_from_cfg(data_cfg: Dict[str, Any]) -> DatasetSpec:
+    name = str(data_cfg.get("class", "treeins")).lower()
+    if "npm3d" in name:
+        return NPM3D_SPEC
+    return TREEINS_SPEC
+
+
+@dataclasses.dataclass
+class TrainingConfig:
+    epochs: int = 150
+    batch_size: int = 4
+    samples_per_epoch: int = 3000
+    lr: float = 1e-3
+    lr_gamma: float = 0.9885  # per-epoch exponential decay
+    scheduler: str = "exponential"
+    grad_clip: float | None = None
+    eval_frequency: int = 1
+    bn_momentum: float = 0.1
+    bn_decay: float = 0.9  # per bn_scheduler step
+    bn_decay_every: int = 1000000
+    checkpoint_dir: str = ""
+    seed: int = 2022
+
+
+def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
+    t = cfg.get("training", {})
+    lr_s = cfg.get("lr_scheduler", {})
+    return TrainingConfig(
+        epochs=int(t.get("epochs", 150)),
+        batch_size=int(t.get("batch_size", 4)),
+        samples_per_epoch=int(t.get("samples_per_epoch", 3000)),
+        lr=float(t.get("optim", {}).get("base_lr", t.get("lr", 1e-3))),
+        lr_gamma=float(lr_s.get("params", {}).get("gamma", 0.9885)),
+        scheduler=str(lr_s.get("class", "ExponentialLR")),
+        grad_clip=t.get("grad_clip", None),
+        eval_frequency=int(t.get("eval_frequency", 1)),
+        bn_momentum=float(t.get("bn_momentum", 0.1)),
+        seed=int(t.get("seed", 2022)),
+        checkpoint_dir=str(t.get("checkpoint_dir", "")),
+    )
+
+
+def panoptic_config_from_yaml(
+    cfg: Dict[str, Any],
+    model_name: str | None = None,
+    backbone: str = "paper",
+    **budget_overrides,
+) -> Tuple[PanopticConfig, DatasetSpec, TrainingConfig]:
+    """Build (PanopticConfig, DatasetSpec, TrainingConfig) from a composed
+    config tree (conf/config.yaml style)."""
+    models = cfg.get("models", {})
+    model_name = model_name or cfg.get("model_name") or next(iter(models))
+    if model_name not in models:
+        raise KeyError(
+            f"model_name {model_name!r} not in models ({list(models)})"
+        )
+    m = models[model_name]
+    spec = dataset_spec_from_cfg(cfg.get("data", {}))
+    tr = training_config_from_yaml(cfg)
+    lw = m.get("loss_weights", {})
+    grid = float(cfg.get("data", {}).get("grid_size", 0.2))
+
+    kwargs = dict(
+        num_classes=spec.num_classes,
+        stuff_classes=spec.stuff_classes,
+        feat_dim=4,
+        in_feat=int(m.get("feat_size", 16)),
+        embed_dim=int(m.get("embed_dim", 5)),
+        cluster_type=int(m.get("cluster_type", 5)),
+        bandwidth=float(m.get("bandwidth", 0.6)),
+        cluster_radius=float(m.get("cluster_radius_search", 1.5 * grid)),
+        prepare_epoch=int(m.get("prepare_epoch", 30)),
+        scorer_type=str(m.get("scorer_type", "unet") or ""),
+        use_score_net=bool(m.get("use_score_net", True)),
+        mask_supervise=bool(m.get("mask_supervise", False)),
+        use_mask_filter_score_feature=bool(
+            m.get("use_mask_filter_score_feature", False)
+        ),
+        mask_filter_score_feature_thre=float(
+            m.get("mask_filter_score_feature_thre", 0.5)
+        ),
+        cal_iou_based_on_mask=bool(m.get("cal_iou_based_on_mask", False)),
+        min_iou_threshold=float(m.get("min_iou_threshold", 0.25)),
+        max_iou_threshold=float(m.get("max_iou_threshold", 0.75)),
+        block_merge_th=float(m.get("block_merge_th", 0.01) or 0.01),
+        w_semantic=float(lw.get("semantic", 1.0)),
+        w_offset_norm=float(lw.get("offset_norm_loss", 0.1)),
+        w_offset_dir=float(lw.get("offset_dir_loss", 0.1)),
+        w_score=float(lw.get("score_loss", 1.0)),
+        w_embed=float(lw.get("embedding_loss", 1.0)),
+        w_mask=float(lw.get("mask_loss", 1.0)),
+        num_samples=tr.batch_size,
+        backbone=backbone,
+    )
+    kwargs.update(budget_overrides)
+    return PanopticConfig(**kwargs), spec, tr

@@ -1,0 +1,105 @@
+"""Data-parallel training over a jax.sharding.Mesh.
+
+The reference trains on a single GPU (SURVEY.md §2.9: no torch.distributed
+anywhere); the TPU-native scale-out shards *tiles* (the spatial batch axis)
+across the mesh - each device runs the full sparse pipeline on its own padded
+tile batch, gradients are psum-reduced over ICI, parameters and BN statistics
+stay replicated (sync-BN via pmean of the updated running stats).
+
+shard_map is the right tool (not pjit sharding inference) because every
+per-device computation is independent fixed-shape sparse logic; the only
+cross-device communication is the gradient/stat reduction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.pointgroup3heads import PanopticConfig, PointGroup3HeadsNet
+from ..train.step import TrainState, batch_arrays, canonicalize, panoptic_forward, panoptic_losses
+from ..ops.hierarchy import build_hierarchy
+
+
+def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(mesh: Mesh, arrays: Tuple, axis_name: str = "data"):
+    """Place [D, ...] arrays with the leading axis over the mesh."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.device_put(arrays, sharding)
+
+
+def make_parallel_train_step(
+    cfg: PanopticConfig,
+    model: PointGroup3HeadsNet,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    with_clustering: bool,
+    axis_name: str = "data",
+    grad_clip_value: float | None = None,
+):
+    """Returns a jitted step: (replicated TrainState, [D,...] arrays) ->
+    (TrainState, metrics). Gradients psum over the mesh."""
+
+    def device_step(state: TrainState, arrays):
+        arrays = tuple(a[0] for a in arrays)  # shard_map gives [1, ...] blocks
+        db = canonicalize(*arrays)
+        hier = build_hierarchy(db.grid, cfg.num_down)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            out, new_stats = panoptic_forward(
+                cfg, model, variables, db, hier, train=True,
+                with_clustering=with_clustering, momentum=state.bn_momentum,
+            )
+            total, losses = panoptic_losses(
+                cfg, out, db.y, db.vote_label, db.instance_labels,
+                db.instance_mask, db.grid.batch, db.grid.mask,
+            )
+            return total, (losses, new_stats)
+
+        (_, (losses, new_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        grads = jax.lax.pmean(grads, axis_name)
+        if grad_clip_value is not None:
+            grads = jax.tree_util.tree_map(
+                lambda g: jnp.clip(g, -grad_clip_value, grad_clip_value), grads
+            )
+        # keep replicas bit-identical: BN stats and metrics are averaged
+        new_stats = jax.lax.pmean(new_stats, axis_name)
+        losses = jax.lax.pmean(losses, axis_name)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        return new_state, losses
+
+    n_arrays = 9  # coords, batch, mask, feats, pos, y, inst, vote, origin
+    shard_specs = tuple(P(axis_name) for _ in range(n_arrays))
+    mapped = jax.shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(P(), shard_specs),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,))

@@ -1,0 +1,143 @@
+"""Full-scene evaluator: eval.py's engine (reference Trainer._test_epoch +
+PanopticTracker test path + finalise, SURVEY.md §3.3).
+
+Per test file: deterministic cylinder tiling -> jitted forward per tile ->
+semantic vote accumulation + NMS'd clusters -> block merging into the raw
+cloud -> finalise (full-res projection, stuff masking, distance cutoff,
+min-size filter) -> PLY exports + final_eval PQ report.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import os.path as osp
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import PanopticFileDataset, collate_tiles
+from ..data.ply import write_ply
+from ..eval.extract import extract_clusters, proposals_to_numpy
+from ..eval.merge import SceneAccumulator
+from ..eval.panoptic_quality import final_eval
+from ..models.pointgroup3heads import PanopticConfig
+from ..train.step import batch_arrays, make_eval_forward
+
+log = logging.getLogger(__name__)
+
+
+class FullSceneEvaluator:
+    def __init__(
+        self,
+        pcfg: PanopticConfig,
+        model,
+        params,
+        batch_stats,
+        dataset: PanopticFileDataset,
+        capacity: int = 65536,
+    ):
+        assert pcfg.num_samples == 1, "full-scene eval runs tiles one by one"
+        self.pcfg = pcfg
+        self.model = model
+        self.params = params
+        self.batch_stats = batch_stats
+        self.dataset = dataset
+        self.capacity = capacity
+        self._fwd = make_eval_forward(pcfg, model, with_clustering=True)
+
+    def run(
+        self,
+        out_dir: str = ".",
+        ply_output: bool = True,
+        th_merge: Optional[float] = None,
+    ) -> List[Dict[str, float]]:
+        os.makedirs(out_dir, exist_ok=True)
+        th = 0.1 if th_merge is None else th_merge
+        reports = []
+        for fi in range(len(self.dataset.files)):
+            raw = (
+                self.dataset.raw_clouds[fi]
+                if self.dataset.keep_raw and self.dataset.raw_clouds
+                else self.dataset.clouds[fi]
+            )
+            acc = SceneAccumulator(raw["pos"], self.pcfg.num_classes)
+            tiles = self.dataset.test_tiles(fi)
+            log.info("file %d: %d tiles", fi, len(tiles))
+            for tile, tile_full_ids in tiles:
+                self._process_tile(acc, tile, tile_full_ids, th)
+            sem, ins = acc.finalise(
+                stuff_classes=self.pcfg.stuff_classes,
+                distance_cutoff=1.0,
+                min_instance_size=10,
+            )
+            gt_sem = raw["y"]
+            gt_ins = raw["instance_labels"]
+            if ply_output:
+                write_ply(
+                    osp.join(out_dir, f"Semantic_results_forEval_{fi}.ply"),
+                    [raw["pos"], sem.astype(np.int16), gt_sem.astype(np.int16)],
+                    ["x", "y", "z", "preds", "gt"],
+                )
+                write_ply(
+                    osp.join(out_dir, f"Instance_Results_forEval{fi}.ply"),
+                    [raw["pos"], ins.astype(np.int32), gt_ins.astype(np.int32)],
+                    ["x", "y", "z", "preds", "gt"],
+                )
+            report = final_eval(
+                sem,
+                ins,
+                gt_sem,
+                gt_ins,
+                num_classes_raw=self.pcfg.num_classes,
+                thing_classes_raw=self.dataset.spec.thing_classes,
+                stuff_classes_raw=self.dataset.spec.stuff_classes,
+                output_file=osp.join(out_dir, f"Evaluation_{fi}"),
+            )
+            report["vote_miou"] = acc.vote_miou(gt_sem, self.pcfg.num_classes)
+            reports.append(report)
+            log.info(
+                "file %d: PQ=%.3f F1=%.3f mIoU=%.3f",
+                fi, report["meanPQ"], report["F1"], report["mIoU"],
+            )
+        return reports
+
+    def _process_tile(self, acc, tile, tile_full_ids, th):
+        vb = collate_tiles([tile], capacity=self.capacity, num_tiles=1)
+        db, out = self._fwd(self.params, self.batch_stats, batch_arrays(vb))
+        mask = np.asarray(db.grid.mask)
+        origin = np.asarray(db.origin_id)
+        sem = np.asarray(out.semantic_logits)
+        row_to_sub = np.cumsum(mask) - 1  # canonical row -> position in valid subset
+
+        clusters_rows, kept = [], []
+        scores_np = None
+        if out.proposals is not None:
+            props = proposals_to_numpy(out.proposals)
+            scores_np = (
+                np.asarray(out.cluster_scores)
+                if out.cluster_scores is not None
+                else None
+            )
+            clusters_rows, kept = extract_clusters(
+                props,
+                scores_np,
+                len(mask),
+                nms_threshold=self.pcfg.nms_threshold,
+                min_cluster_points=self.pcfg.min_cluster_points,
+                min_score=self.pcfg.min_score,
+            )
+        clusters_sub = [row_to_sub[c] for c in clusters_rows]
+        if kept and scores_np is not None:
+            kept_scores = np.asarray([scores_np[k] for k in kept])
+        else:
+            kept_scores = None
+        acc.add_tile(
+            origin[mask],
+            sem[mask],
+            tile_full_ids,
+            clusters_sub,
+            kept_scores,
+            th_merge=th,
+        )

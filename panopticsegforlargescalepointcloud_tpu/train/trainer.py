@@ -1,0 +1,282 @@
+"""Trainer: the orchestration layer (reference ``torch_points3d/trainer.py``).
+
+Wires dataset -> steps -> tracker -> checkpoint:
+* epoch loop with the prepare/full phase switch at ``prepare_epoch``
+  (two compiled step functions instead of the reference's in-graph gate);
+* per-epoch exponential LR decay and BN-momentum scheduling as train-state
+  values;
+* validation epochs tracking semantic + instance metrics;
+* named-weight-set checkpointing with resume;
+* falls back to synthetic planted-instance tiles when no dataset files are
+  configured (the MockDataset pattern) so the full loop runs anywhere.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config.schema import (
+    TrainingConfig,
+    dataset_spec_from_cfg,
+    panoptic_config_from_yaml,
+)
+from ..data import PanopticFileDataset, collate_tiles, synthetic_tile
+from ..eval.confusion import ConfusionMatrix
+from ..eval.extract import extract_clusters, proposals_to_numpy
+from ..eval.instance_metrics import compute_acc, compute_eval
+from ..models.pointgroup3heads import PointGroup3HeadsNet
+from ..ops.hierarchy import build_hierarchy
+from .checkpoint import ModelCheckpoint
+from .step import (
+    TrainState,
+    batch_arrays,
+    canonicalize,
+    init_state,
+    make_eval_forward,
+    make_train_step,
+)
+
+log = logging.getLogger(__name__)
+
+
+class SyntheticTiles:
+    """Fallback data source with the PanopticFileDataset sampling API."""
+
+    def __init__(self, spec, rng):
+        self.spec = spec
+        self._rng = rng
+
+    def sample_train_tile(self, rng):
+        return synthetic_tile(
+            rng,
+            num_classes=self.spec.num_classes,
+            stuff_classes=self.spec.stuff_classes,
+        )
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: Dict,
+        capacity: int = 65536,
+        backbone: str = "paper",
+        checkpoint_dir: Optional[str] = None,
+        **budget_overrides,
+    ):
+        self.cfg = cfg
+        self.pcfg, self.spec, self.tcfg = panoptic_config_from_yaml(
+            cfg, backbone=backbone, **budget_overrides
+        )
+        self.capacity = capacity
+        self.rng = np.random.default_rng(self.tcfg.seed)
+
+        data_cfg = cfg.get("data", {})
+        files = data_cfg.get("files", {}) or {}
+        if files.get("train"):
+            self.dataset = PanopticFileDataset(
+                self.spec,
+                files["train"],
+                grid_size=float(data_cfg.get("grid_size", 0.2)),
+                radius=float(data_cfg.get("radius", 8)),
+                processed_dir=data_cfg.get("processed_dir"),
+                rng=self.rng,
+            )
+            self.val_dataset = (
+                PanopticFileDataset(
+                    self.spec,
+                    files["val"],
+                    grid_size=float(data_cfg.get("grid_size", 0.2)),
+                    radius=float(data_cfg.get("radius", 8)),
+                    processed_dir=data_cfg.get("processed_dir"),
+                    rng=self.rng,
+                )
+                if files.get("val")
+                else self.dataset
+            )
+        else:
+            log.warning("no dataset files configured - using synthetic tiles")
+            self.dataset = SyntheticTiles(self.spec, self.rng)
+            self.val_dataset = self.dataset
+
+        self.model = PointGroup3HeadsNet(self.pcfg)
+        steps_per_epoch = max(
+            self.tcfg.samples_per_epoch // self.tcfg.batch_size, 1
+        )
+        self.steps_per_epoch = steps_per_epoch
+        schedule = optax.exponential_decay(
+            init_value=self.tcfg.lr,
+            transition_steps=steps_per_epoch,
+            decay_rate=self.tcfg.lr_gamma,
+            staircase=True,
+        )
+        self.tx = optax.adam(schedule)
+
+        self._prepare_step = make_train_step(
+            self.pcfg, self.model, self.tx, with_clustering=False,
+            grad_clip_value=self._clip(),
+        )
+        self._full_step = make_train_step(
+            self.pcfg, self.model, self.tx, with_clustering=True,
+            grad_clip_value=self._clip(),
+        )
+        self._eval_fwd = make_eval_forward(self.pcfg, self.model, with_clustering=True)
+        self._eval_fwd_basic = make_eval_forward(
+            self.pcfg, self.model, with_clustering=False
+        )
+
+        example = self._next_batch()
+        arrays = batch_arrays(example)
+        db = canonicalize(*arrays)
+        hier = build_hierarchy(db.grid, self.pcfg.num_down)
+        self.state = init_state(
+            self.pcfg, self.model, self.tx, db, hier,
+            jax.random.PRNGKey(self.tcfg.seed), self.tcfg.bn_momentum,
+        )
+        self.start_epoch = 1
+        self.checkpoint = None
+        if checkpoint_dir or self.tcfg.checkpoint_dir:
+            self.checkpoint = ModelCheckpoint(
+                checkpoint_dir or self.tcfg.checkpoint_dir,
+                run_config=cfg,
+            )
+            if "latest" in self.checkpoint._data["models"]:
+                self._load_weights("latest")
+                self.start_epoch = self.checkpoint.start_epoch
+                log.info("resumed from epoch %d", self.start_epoch)
+
+    def _clip(self):
+        gc = self.tcfg.grad_clip
+        return None if gc is None or gc <= 0 else float(gc)
+
+    def _load_weights(self, name: str):
+        w = self.checkpoint.get_weights(name)
+        self.state = self.state.replace(
+            params=jax.tree_util.tree_map(jnp.asarray, w["params"]),
+            batch_stats=jax.tree_util.tree_map(jnp.asarray, w["batch_stats"]),
+        )
+        opt = self.checkpoint.get_optimizer_state()
+        if opt is not None:
+            target = jax.tree_util.tree_structure(self.state.opt_state)
+            leaves = jax.tree_util.tree_leaves(opt)
+            self.state = self.state.replace(
+                opt_state=jax.tree_util.tree_unflatten(
+                    target, [jnp.asarray(l) for l in leaves]
+                ),
+                step=jnp.asarray(
+                    (self.checkpoint.start_epoch - 1) * self.steps_per_epoch,
+                    jnp.int32,
+                ),
+            )
+
+    # ------------------------------------------------------------------
+    def _next_batch(self):
+        tiles = [
+            self.dataset.sample_train_tile(self.rng)
+            for _ in range(self.tcfg.batch_size)
+        ]
+        return collate_tiles(
+            tiles, capacity=self.capacity, num_tiles=self.tcfg.batch_size
+        )
+
+    def train(self, epochs: Optional[int] = None, batches_per_epoch: Optional[int] = None):
+        epochs = epochs or self.tcfg.epochs
+        nb = batches_per_epoch or self.steps_per_epoch
+        for epoch in range(self.start_epoch, epochs + 1):
+            t0 = time.time()
+            metrics = self._train_epoch(epoch, nb)
+            log.info(
+                "epoch %d done in %.1fs: %s",
+                epoch,
+                time.time() - t0,
+                {k: round(v, 4) for k, v in metrics.items()},
+            )
+            stage_metrics = {"train": metrics}
+            if epoch % self.tcfg.eval_frequency == 0:
+                val = self.eval_epoch(epoch, num_batches=max(nb // 10, 1))
+                stage_metrics["val"] = val
+                log.info("val: %s", {k: round(v, 4) for k, v in val.items()})
+            if self.checkpoint:
+                weights = {
+                    "params": self.state.params,
+                    "batch_stats": self.state.batch_stats,
+                }
+                self.checkpoint.save_best_models_under_current_metrics(
+                    weights, self.state.opt_state, stage_metrics
+                )
+        return self.state
+
+    def _train_epoch(self, epoch: int, num_batches: int) -> Dict[str, float]:
+        step = (
+            self._full_step
+            if epoch > self.pcfg.prepare_epoch
+            else self._prepare_step
+        )
+        agg: Dict[str, float] = {}
+        for _ in range(num_batches):
+            vb = self._next_batch()
+            self.state, metrics = step(self.state, batch_arrays(vb))
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+        return {k: v / num_batches for k, v in agg.items()}
+
+    # ------------------------------------------------------------------
+    def eval_epoch(
+        self, epoch: int, num_batches: int = 10, with_instances: Optional[bool] = None
+    ) -> Dict[str, float]:
+        if with_instances is None:
+            with_instances = epoch > self.pcfg.prepare_epoch
+        fwd = self._eval_fwd if with_instances else self._eval_fwd_basic
+        cm = ConfusionMatrix(self.pcfg.num_classes)
+        inst_metrics: List[tuple] = []
+        for _ in range(num_batches):
+            tiles = [
+                self.val_dataset.sample_train_tile(self.rng)
+                for _ in range(self.tcfg.batch_size)
+            ]
+            vb = collate_tiles(
+                tiles, capacity=self.capacity, num_tiles=self.tcfg.batch_size
+            )
+            db, out = fwd(self.state.params, self.state.batch_stats, batch_arrays(vb))
+            mask = np.asarray(db.grid.mask)
+            y = np.asarray(db.y)
+            pred = np.asarray(jnp.argmax(out.semantic_logits, -1))
+            ok = mask & (y >= 0)
+            cm.count_predicted_batch(y[ok], pred[ok])
+            if with_instances and out.proposals is not None:
+                props = proposals_to_numpy(out.proposals)
+                scores = np.asarray(out.cluster_scores) if out.cluster_scores is not None else None
+                clusters, _ = extract_clusters(
+                    props, scores, len(mask),
+                    nms_threshold=self.pcfg.nms_threshold,
+                    min_cluster_points=self.pcfg.min_cluster_points,
+                    min_score=self.pcfg.min_score,
+                )
+                if clusters:
+                    inst = np.asarray(db.instance_labels)
+                    batch = np.asarray(db.grid.batch)
+                    ninst = int((np.unique(inst * (batch >= 0))).max())
+                    acc = compute_acc(clusters, pred, inst, y, batch, max(ninst, 1))
+                    ev = compute_eval(
+                        clusters, pred, inst, y, batch,
+                        self.pcfg.num_classes, self.spec.thing_classes,
+                    )
+                    inst_metrics.append(acc + ev)
+        out_metrics = {
+            "miou": cm.get_average_intersection_union(),
+            "acc": cm.get_overall_accuracy(),
+            "macc": cm.get_mean_class_accuracy(),
+        }
+        if inst_metrics:
+            arr = np.asarray(inst_metrics)
+            for i, k in enumerate(
+                ["pos", "neg", "Iacc", "cov", "wcov", "mIPre", "mIRec", "F1"]
+            ):
+                out_metrics[k] = float(arr[:, i].mean())
+        return out_metrics

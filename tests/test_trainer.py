@@ -1,0 +1,145 @@
+"""Integration tests: config composition, trainer loop with checkpointing and
+resume, full-scene evaluator on a synthetic forest file."""
+
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from panopticsegforlargescalepointcloud_tpu.config import (
+    load_config,
+    panoptic_config_from_yaml,
+)
+
+CONF = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "conf")
+
+
+class TestConfig:
+    def test_compose_defaults(self):
+        cfg = load_config(CONF, [])
+        assert cfg["task"] == "panoptic"
+        assert cfg["model_name"] == "PointGroup-PAPER"
+        assert cfg["data"]["grid_size"] == 0.2
+        m = cfg["models"]["PointGroup-PAPER"]
+        assert m["cluster_type"] == 5
+        # arithmetic interpolation: 1.5 * grid_size
+        assert abs(m["cluster_radius_search"] - 0.3) < 1e-9
+
+    def test_group_and_value_overrides(self):
+        cfg = load_config(
+            CONF,
+            [
+                "data=panoptic/npm3d-sparseconv_grid_012_R_16_cylinder_area1",
+                "models=panoptic/area4_ablation_19",
+                "training.epochs=7",
+                "model_name=PointGroup-PAPER",
+            ],
+        )
+        assert cfg["data"]["first_subsampling"] == 0.12
+        assert cfg["training"]["epochs"] == 7
+        m = cfg["models"]["PointGroup-PAPER"]
+        assert m["use_score_net"] is False
+        assert m["cluster_type"] == 3
+        assert abs(m["cluster_radius_search"] - 0.18) < 1e-9
+
+    def test_schema_mapping(self):
+        cfg = load_config(CONF, [])
+        pcfg, spec, tcfg = panoptic_config_from_yaml(cfg, backbone="tiny")
+        assert pcfg.num_classes == 2
+        assert pcfg.stuff_classes == (0,)
+        assert pcfg.cluster_type == 5
+        assert pcfg.bandwidth == 0.6
+        assert tcfg.epochs == 150
+        assert tcfg.lr_gamma == 0.9885
+
+    def test_all_five_settings_load(self):
+        for name, ct, score in [
+            ("area4_ablation_19", 3, False),
+            ("area4_ablation_14", 1, True),
+            ("area4_ablation_15", 2, True),
+            ("area4_ablation_3heads_5", 5, True),
+            ("area4_ablation_3heads_6", 6, True),
+        ]:
+            cfg = load_config(CONF, [f"models=panoptic/{name}"])
+            pcfg, _, _ = panoptic_config_from_yaml(cfg, backbone="tiny")
+            assert pcfg.cluster_type == ct, name
+            assert pcfg.use_score_net == score, name
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """Train a tiny model on synthetic tiles for a few steps w/ checkpoints."""
+    from panopticsegforlargescalepointcloud_tpu.train.trainer import Trainer
+
+    tmp = tmp_path_factory.mktemp("run")
+    cfg = load_config(
+        CONF,
+        [
+            "training.epochs=2",
+            "training.batch_size=2",
+            "training.samples_per_epoch=4",
+            "data=panoptic/treeins_rad8",
+        ],
+    )
+    # synthetic tiles have 9 classes; override the spec via npm3d-style data
+    cfg["data"]["class"] = "npm3d"
+    trainer = Trainer(
+        cfg,
+        capacity=4096,
+        backbone="tiny",
+        checkpoint_dir=str(tmp),
+        in_feat=8,
+        max_instances=16,
+        max_props_rg=32,
+        ms_max_seeds=32,
+        ms_max_clusters=8,
+        ms_point_cap=1024,
+        cluster_radius=0.9,
+        min_cluster_points=20,
+        prepare_epoch=1,  # epoch 2 exercises the clustering phase
+    )
+    trainer.train()
+    return trainer, tmp, cfg
+
+
+class TestTrainer:
+    def test_epochs_ran_and_checkpointed(self, trained):
+        trainer, tmp, cfg = trained
+        assert int(trainer.state.step) == 4  # 2 epochs x 2 batches
+        assert osp.exists(osp.join(str(tmp), "model.ckpt"))
+        from panopticsegforlargescalepointcloud_tpu.train.checkpoint import (
+            ModelCheckpoint,
+        )
+
+        ckpt = ModelCheckpoint(str(tmp))
+        assert "latest" in ckpt._data["models"]
+        assert ckpt.start_epoch == 3
+        assert any(k.startswith("best_") for k in ckpt._data["models"])
+
+    def test_resume(self, trained):
+        trainer, tmp, cfg = trained
+        from panopticsegforlargescalepointcloud_tpu.train.trainer import Trainer
+
+        t2 = Trainer(
+            cfg, capacity=4096, backbone="tiny", checkpoint_dir=str(tmp),
+            in_feat=8, max_instances=16, max_props_rg=32, ms_max_seeds=32,
+            ms_max_clusters=8, ms_point_cap=1024, cluster_radius=0.9,
+            min_cluster_points=20, prepare_epoch=1,
+        )
+        assert t2.start_epoch == 3
+        p0 = np.asarray(
+            next(iter(np.asarray(l) for l in
+                 __import__("jax").tree_util.tree_leaves(t2.state.params)))
+        )
+        p1 = np.asarray(
+            next(iter(np.asarray(l) for l in
+                 __import__("jax").tree_util.tree_leaves(trainer.state.params)))
+        )
+        np.testing.assert_allclose(p0, p1)
+
+    def test_eval_metrics(self, trained):
+        trainer, _, _ = trained
+        m = trainer.eval_epoch(epoch=2, num_batches=1)
+        assert 0 <= m["miou"] <= 1
+        assert 0 <= m["acc"] <= 1

@@ -1,0 +1,43 @@
+#!/usr/bin/env python
+"""Training CLI - same contract as the reference train.py:
+
+    python train.py data=panoptic/treeins_rad8 \
+        models=panoptic/area4_ablation_3heads_5 model_name=PointGroup-PAPER \
+        training=treeins training.epochs=150 \
+        data.files.train='[path/to/a.ply]' data.files.val='[path/to/b.ply]'
+
+Without data files it trains on synthetic planted-instance tiles (smoke mode).
+"""
+
+import logging
+import os
+import sys
+
+
+def main():
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    overrides = [a for a in sys.argv[1:] if "=" in a]
+    conf_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "conf")
+
+    from panopticsegforlargescalepointcloud_tpu.config import load_config
+    from panopticsegforlargescalepointcloud_tpu.train.trainer import Trainer
+
+    cfg = load_config(conf_dir, overrides)
+    if cfg.get("pretty_print"):
+        import yaml
+
+        print(yaml.dump({k: v for k, v in cfg.items() if k != "models"}))
+
+    capacity = int(cfg.get("data", {}).get("voxel_capacity", 65536))
+    backbone = str(cfg.get("backbone", "paper"))
+    trainer = Trainer(
+        cfg,
+        capacity=capacity,
+        backbone=backbone,
+        checkpoint_dir=cfg.get("checkpoint_dir") or None,
+    )
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()
