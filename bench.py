@@ -55,6 +55,7 @@ def main():
         batch_arrays,
         canonicalize,
         init_state,
+        prepare_example,
     )
 
     dev = jax.devices()[0]
@@ -77,8 +78,7 @@ def main():
     arrays = tuple(jnp.asarray(a) for a in batch_arrays(vb))
     valid_voxels = int(np.asarray(vb.mask).sum())
 
-    db = canonicalize(*arrays)
-    hier = build_hierarchy(db.grid, cfg.num_down)
+    db, hier = prepare_example(arrays, cfg.num_down)
     state = init_state(cfg, model, optax.adam(1e-3), db, hier, jax.random.PRNGKey(0))
 
     @jax.jit

@@ -145,7 +145,16 @@ class PanopticFileDataset:
         return cloud
 
     def _build_sampling_tables(self) -> None:
-        self._trees = [cKDTree(c["pos"][:, :2]) for c in self.clouds]
+        from ..ops import native
+
+        if native.available():
+            self._grids = [
+                native.Grid2D(c["pos"][:, :2], cell=self.radius) for c in self.clouds
+            ]
+            self._trees = None
+        else:
+            self._grids = None
+            self._trees = [cKDTree(c["pos"][:, :2]) for c in self.clouds]
         centres = []
         for i, c in enumerate(self.clouds):
             low_pos, low = grid_sample(
@@ -167,8 +176,15 @@ class PanopticFileDataset:
 
     # ------------------------- train sampling -------------------------
     def _cylinder(self, file_idx: int, centre_xy: np.ndarray) -> Dict[str, np.ndarray]:
-        idx = self._trees[file_idx].query_ball_point(centre_xy, self.radius)
-        idx = np.asarray(sorted(idx), dtype=np.int64)
+        if self._grids is not None:
+            idx = self._grids[file_idx].cylinder_query(
+                float(centre_xy[0]), float(centre_xy[1]), self.radius
+            )
+        else:
+            idx = np.asarray(
+                sorted(self._trees[file_idx].query_ball_point(centre_xy, self.radius)),
+                dtype=np.int64,
+            )
         c = self.clouds[file_idx]
         return {k: v[idx] for k, v in c.items()}
 

@@ -43,14 +43,19 @@ def grid_sample(
         if rng is None:
             rng = np.random.default_rng()
         perm = rng.permutation(n)
-        keys = voxel_keys(pos[perm], size)
-        uniq, first, inv = np.unique(keys, return_index=True, return_inverse=True)
-        sel = perm[first]
+        from ..ops import native
+
+        if native.available():
+            sel, cluster = native.voxel_sample_last(pos, size, perm)
+        else:
+            keys = voxel_keys(pos[perm], size)
+            uniq, first, inv = np.unique(keys, return_index=True, return_inverse=True)
+            sel = perm[first]
+            cluster = np.empty(n, np.int64)
+            cluster[perm] = inv
         out_pos = pos[sel]
         out = {k: v[sel] for k, v in attrs.items()}
         if return_cluster:
-            cluster = np.empty(n, np.int64)
-            cluster[perm] = inv
             return out_pos, out, cluster
         return out_pos, out
     elif mode == "mean":

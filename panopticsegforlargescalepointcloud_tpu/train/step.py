@@ -158,21 +158,26 @@ def init_state(
     rngkey,
     bn_momentum: float = 0.1,
 ) -> TrainState:
-    props = build_proposals(
-        cfg,
-        example.pos,
-        jnp.zeros_like(example.pos),
-        jnp.zeros((example.pos.shape[0], cfg.embed_dim), example.feats.dtype),
-        jnp.zeros((example.pos.shape[0], cfg.num_classes), example.feats.dtype),
-        example.grid.batch,
-        example.grid.mask,
-    )
-    sg, shier, sfeats, _ = scorer_inputs(
-        cfg, props, example.grid.coords, jnp.zeros((example.pos.shape[0], cfg.in_feat))
-    )
-    variables = model.init(
-        rngkey, example.feats, hier, sfeats, shier, sg.batch, False
-    )
+    # Jit the whole init path: on remote-compile TPU backends eager op-by-op
+    # dispatch is pathologically slow, and init touches hundreds of primitives.
+    @jax.jit
+    def _init_variables(example: DeviceBatch, hier: Hierarchy, rngkey):
+        props = build_proposals(
+            cfg,
+            example.pos,
+            jnp.zeros_like(example.pos),
+            jnp.zeros((example.pos.shape[0], cfg.embed_dim), example.feats.dtype),
+            jnp.zeros((example.pos.shape[0], cfg.num_classes), example.feats.dtype),
+            example.grid.batch,
+            example.grid.mask,
+        )
+        sg, shier, sfeats, _ = scorer_inputs(
+            cfg, props, example.grid.coords,
+            jnp.zeros((example.pos.shape[0], cfg.in_feat)),
+        )
+        return model.init(rngkey, example.feats, hier, sfeats, shier, sg.batch, False)
+
+    variables = _init_variables(example, hier, rngkey)
     params = variables["params"]
     return TrainState(
         step=jnp.zeros((), jnp.int32),
@@ -251,6 +256,15 @@ def make_eval_forward(cfg: PanopticConfig, model: PointGroup3HeadsNet, with_clus
         return db, out
 
     return jax.jit(fwd)
+
+
+@partial(jax.jit, static_argnames=("num_down",))
+def prepare_example(arrays, num_down: int):
+    """Jitted canonicalize + hierarchy build for standalone (non-step) use -
+    eager dispatch is too slow on remote-compile TPU backends."""
+    db = canonicalize(*arrays)
+    hier = build_hierarchy(db.grid, num_down)
+    return db, hier
 
 
 def batch_arrays(vb) -> Tuple[jnp.ndarray, ...]:

@@ -41,6 +41,7 @@ from .step import (
     init_state,
     make_eval_forward,
     make_train_step,
+    prepare_example,
 )
 
 log = logging.getLogger(__name__)
@@ -133,8 +134,7 @@ class Trainer:
 
         example = self._next_batch()
         arrays = batch_arrays(example)
-        db = canonicalize(*arrays)
-        hier = build_hierarchy(db.grid, self.pcfg.num_down)
+        db, hier = prepare_example(arrays, self.pcfg.num_down)
         self.state = init_state(
             self.pcfg, self.model, self.tx, db, hier,
             jax.random.PRNGKey(self.tcfg.seed), self.tcfg.bn_momentum,
