@@ -42,6 +42,9 @@ from .voxelize import grid_sample
 def read_treeins_format(path: str):
     data = read_ply(path)
     pos = np.stack([data["x"], data["y"], data["z"]], 1).astype(np.float32)
+    if "semantic_seg" not in data:  # unlabeled (forward-only) file
+        n = len(pos)
+        return pos, -np.ones(n, np.int64), np.zeros(n, np.int64)
     y = data["semantic_seg"].astype(np.int64) - 1
     inst = data["treeID"].astype(np.int64) + 1
     return pos, y, inst
@@ -50,6 +53,9 @@ def read_treeins_format(path: str):
 def read_npm3d_format(path: str):
     data = read_ply(path)
     pos = np.stack([data["x"], data["y"], data["z"]], 1).astype(np.float32)
+    if "scalar_class" not in data:  # unlabeled (forward-only) file
+        n = len(pos)
+        return pos, -np.ones(n, np.int64), np.zeros(n, np.int64)
     y = data["scalar_class"].astype(np.int64) - 1
     inst = data["scalar_label"].astype(np.int64) + 1
     return pos, y, inst
