@@ -12,6 +12,7 @@ round-over-round; the reference publishes no comparable number (BASELINE.md).
 """
 
 import json
+from functools import partial
 import os
 import time
 
@@ -81,9 +82,9 @@ def main():
     db, hier = prepare_example(arrays, cfg.num_down)
     state = init_state(cfg, model, optax.adam(1e-3), db, hier, jax.random.PRNGKey(0))
 
-    @jax.jit
-    def forward(params, batch_stats, arrays):
+    def forward(params, batch_stats, feats, arrays):
         db = canonicalize(*arrays)
+        db = db._replace(feats=feats)
         hier = build_hierarchy(db.grid, cfg.num_down)
         variables = {"params": params, "batch_stats": batch_stats}
         x, sem, off, emb = model.apply(
@@ -96,14 +97,29 @@ def main():
         )
         return sem, off, emb
 
-    # warmup / compile
-    out = forward(state.params, state.batch_stats, arrays)
-    jax.block_until_ready(out)
+    # Time N forwards inside ONE jitted call (remote/async dispatch makes
+    # per-call host timing unreliable): a fori_loop whose input depends on the
+    # carry so XLA cannot hoist the body out of the loop.
+    @partial(jax.jit, static_argnames=("n",))
+    def forward_n(params, batch_stats, arrays, n):
+        feats0 = arrays[3]
+
+        def body(i, carry):
+            feats = feats0 + 1e-30 * carry
+            sem, off, emb = forward(params, batch_stats, feats, arrays)
+            return carry + jnp.sum(sem) * 1e-30
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    # compile both loop lengths, then difference out the fixed overhead
+    s1 = float(forward_n(state.params, state.batch_stats, arrays, 1))
+    sN = float(forward_n(state.params, state.batch_stats, arrays, iters + 1))
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(state.params, state.batch_stats, arrays)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    s1 = float(forward_n(state.params, state.batch_stats, arrays, 1))
+    t1 = time.perf_counter()
+    sN = float(forward_n(state.params, state.batch_stats, arrays, iters + 1))
+    t2 = time.perf_counter()
+    dt = max((t2 - t1) - (t1 - t0), 1e-9) / iters
 
     pps = valid_voxels / dt
 

@@ -33,6 +33,8 @@ from ..eval.extract import extract_clusters, proposals_to_numpy
 from ..eval.instance_metrics import compute_acc, compute_eval
 from ..models.pointgroup3heads import PointGroup3HeadsNet
 from ..ops.hierarchy import build_hierarchy
+from ..utils.timer import StageTimers
+from ..utils.wandb_utils import WandbLogger
 from .checkpoint import ModelCheckpoint
 from .step import (
     TrainState,
@@ -139,6 +141,14 @@ class Trainer:
             self.pcfg, self.model, self.tx, db, hier,
             jax.random.PRNGKey(self.tcfg.seed), self.tcfg.bn_momentum,
         )
+        wandb_cfg = cfg.get("training", {}).get("wandb", {}) or {}
+        self.logger = WandbLogger(
+            enabled=bool(wandb_cfg.get("log", False)),
+            project=str(wandb_cfg.get("project", "panoptic-tpu")),
+            config=cfg,
+            run_dir=checkpoint_dir or self.tcfg.checkpoint_dir or ".",
+        )
+        self.timers = StageTimers()
         self.start_epoch = 1
         self.checkpoint = None
         if checkpoint_dir or self.tcfg.checkpoint_dir:
@@ -220,11 +230,18 @@ class Trainer:
         )
         agg: Dict[str, float] = {}
         for _ in range(num_batches):
-            vb = self._next_batch()
-            self.state, metrics = step(self.state, batch_arrays(vb))
+            with self.timers.time("data"):
+                vb = self._next_batch()
+                arrays = batch_arrays(vb)
+            with self.timers.time("step"):
+                self.state, metrics = step(self.state, arrays)
+                metrics = {k: float(v) for k, v in metrics.items()}
             for k, v in metrics.items():
-                agg[k] = agg.get(k, 0.0) + float(v)
-        return {k: v / num_batches for k, v in agg.items()}
+                agg[k] = agg.get(k, 0.0) + v
+        out = {k: v / num_batches for k, v in agg.items()}
+        out.update({f"time_{k}": v for k, v in self.timers.summary().items()})
+        self.logger.log({f"train_{k}": v for k, v in out.items()}, step=int(self.state.step))
+        return out
 
     # ------------------------------------------------------------------
     def eval_epoch(
