@@ -97,27 +97,28 @@ def main():
         )
         return sem, off, emb
 
-    # Time N forwards inside ONE jitted call (remote/async dispatch makes
-    # per-call host timing unreliable): a fori_loop whose input depends on the
-    # carry so XLA cannot hoist the body out of the loop.
-    @partial(jax.jit, static_argnames=("n",))
-    def forward_n(params, batch_stats, arrays, n):
-        feats0 = arrays[3]
+    # Honest timing on async/remote backends: chain iterations through a data
+    # dependency (outputs perturb the next input) and fetch a scalar at the
+    # end, so the runtime must execute every forward; difference a 1-iter run
+    # from an (iters+1)-iter run to cancel per-call dispatch/transfer overhead.
+    @jax.jit
+    def forward_step(params, batch_stats, feats, arrays):
+        sem, off, emb = forward(params, batch_stats, feats, arrays)
+        carry = feats + 1e-30 * jnp.sum(sem)
+        return carry, jnp.sum(sem)
 
-        def body(i, carry):
-            feats = feats0 + 1e-30 * carry
-            sem, off, emb = forward(params, batch_stats, feats, arrays)
-            return carry + jnp.sum(sem) * 1e-30
+    def run_chain(n):
+        feats = arrays[3]
+        s = None
+        for _ in range(n):
+            feats, s = forward_step(state.params, state.batch_stats, feats, arrays)
+        return float(s)
 
-        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
-
-    # compile both loop lengths, then difference out the fixed overhead
-    s1 = float(forward_n(state.params, state.batch_stats, arrays, 1))
-    sN = float(forward_n(state.params, state.batch_stats, arrays, iters + 1))
+    run_chain(1)  # compile + warm
     t0 = time.perf_counter()
-    s1 = float(forward_n(state.params, state.batch_stats, arrays, 1))
+    run_chain(1)
     t1 = time.perf_counter()
-    sN = float(forward_n(state.params, state.batch_stats, arrays, iters + 1))
+    run_chain(iters + 1)
     t2 = time.perf_counter()
     dt = max((t2 - t1) - (t1 - t0), 1e-9) / iters
 

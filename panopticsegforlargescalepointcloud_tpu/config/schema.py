@@ -39,8 +39,9 @@ class TrainingConfig:
     grad_clip: float | None = None
     eval_frequency: int = 1
     bn_momentum: float = 0.1
-    bn_decay: float = 0.9  # per bn_scheduler step
-    bn_decay_every: int = 1000000
+    bn_decay: float = 0.5  # step_decay policy (reference bn_scheduler)
+    bn_decay_every: int = 20
+    bn_clip: float = 0.01
     checkpoint_dir: str = ""
     seed: int = 2022
 
@@ -57,7 +58,18 @@ def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
         scheduler=str(lr_s.get("class", "ExponentialLR")),
         grad_clip=t.get("grad_clip", None),
         eval_frequency=int(t.get("eval_frequency", 1)),
-        bn_momentum=float(t.get("bn_momentum", 0.1)),
+        bn_momentum=float(
+            t.get("bn_scheduler", {}).get("params", {}).get("bn_momentum", 0.1)
+        ),
+        bn_decay=float(
+            t.get("bn_scheduler", {}).get("params", {}).get("bn_decay", 0.5)
+        ),
+        bn_decay_every=int(
+            t.get("bn_scheduler", {}).get("params", {}).get("decay_step", 20)
+        ),
+        bn_clip=float(
+            t.get("bn_scheduler", {}).get("params", {}).get("bn_clip", 0.01)
+        ),
         seed=int(t.get("seed", 2022)),
         checkpoint_dir=str(t.get("checkpoint_dir", "")),
     )

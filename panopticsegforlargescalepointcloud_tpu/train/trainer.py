@@ -200,6 +200,16 @@ class Trainer:
         nb = batches_per_epoch or self.steps_per_epoch
         for epoch in range(self.start_epoch, epochs + 1):
             t0 = time.time()
+            # BN momentum step decay (reference bn_scheduler step_decay policy:
+            # momentum = clip(bn_momentum * bn_decay**(epoch // decay_step)))
+            mom = max(
+                self.tcfg.bn_momentum
+                * (self.tcfg.bn_decay ** (epoch // max(self.tcfg.bn_decay_every, 1))),
+                self.tcfg.bn_clip,
+            )
+            self.state = self.state.replace(
+                bn_momentum=jnp.asarray(mom, jnp.float32)
+            )
             metrics = self._train_epoch(epoch, nb)
             log.info(
                 "epoch %d done in %.1fs: %s",
