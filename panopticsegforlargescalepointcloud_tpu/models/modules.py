@@ -30,12 +30,17 @@ conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
 
 
 class SparseConv(nn.Module):
-    """A single sparse convolution through a kernel map. Weights [K, Cin, Cout]."""
+    """A single sparse convolution through a kernel map. Weights [K, Cin, Cout].
+
+    ``compute_dtype`` controls the gather/GEMM precision (bfloat16 halves the
+    dominant HBM gather traffic on TPU; accumulation stays fp32 via
+    preferred_element_type and the output is cast back to fp32)."""
 
     features: int
     kernel_volume: int = 27
     use_bias: bool = False
     gemm_mode: str = "fused"
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, nbr_idx: jnp.ndarray) -> jnp.ndarray:
@@ -43,7 +48,11 @@ class SparseConv(nn.Module):
         w = self.param(
             "kernel", conv_init, (self.kernel_volume, cin, self.features), jnp.float32
         )
-        out = sparse_conv(x, nbr_idx, w.astype(x.dtype), mode=self.gemm_mode)
+        cdt = jnp.dtype(self.compute_dtype)
+        out = sparse_conv(
+            x.astype(cdt), nbr_idx, w.astype(cdt), mode=self.gemm_mode,
+            out_dtype=jnp.float32,
+        )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             out = out + b.astype(out.dtype)
@@ -54,10 +63,14 @@ class ConvBNReLU(nn.Module):
     features: int
     kernel_volume: int = 27
     gemm_mode: str = "fused"
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, nbr_idx, mask, train: bool, momentum=0.1):
-        h = SparseConv(self.features, self.kernel_volume, gemm_mode=self.gemm_mode)(x, nbr_idx)
+        h = SparseConv(
+            self.features, self.kernel_volume, gemm_mode=self.gemm_mode,
+            compute_dtype=self.compute_dtype,
+        )(x, nbr_idx)
         h = MaskedBatchNorm()(h, mask, train, momentum)
         return nn.relu(h)
 
@@ -71,11 +84,13 @@ class ResBlock(nn.Module):
 
     features: int
     gemm_mode: str = "fused"
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, same_map, mask, train: bool, momentum=0.1):
-        h = ConvBNReLU(self.features, gemm_mode=self.gemm_mode)(x, same_map, mask, train, momentum)
-        h = ConvBNReLU(self.features, gemm_mode=self.gemm_mode)(h, same_map, mask, train, momentum)
+        kw = dict(gemm_mode=self.gemm_mode, compute_dtype=self.compute_dtype)
+        h = ConvBNReLU(self.features, **kw)(x, same_map, mask, train, momentum)
+        h = ConvBNReLU(self.features, **kw)(h, same_map, mask, train, momentum)
         if x.shape[-1] != self.features:
             # 1x1 conv == pointwise dense (kernel volume 1, offset (0,0,0))
             sc = nn.Dense(self.features, use_bias=False, kernel_init=conv_init)(x)
@@ -97,6 +112,7 @@ class ResNetDown(nn.Module):
     stride: int = 2
     num_blocks: int = 2
     gemm_mode: str = "fused"
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, conv_map, same_map_out, mask_out, train: bool, momentum=0.1):
@@ -109,13 +125,10 @@ class ResNetDown(nn.Module):
         """
         cin, cout = self.conv_nn
         first_out = cin if self.stride > 1 else cout
-        h = ConvBNReLU(first_out, gemm_mode=self.gemm_mode)(
-            x, conv_map, mask_out, train, momentum
-        )
+        kw = dict(gemm_mode=self.gemm_mode, compute_dtype=self.compute_dtype)
+        h = ConvBNReLU(first_out, **kw)(x, conv_map, mask_out, train, momentum)
         for _ in range(self.num_blocks):
-            h = ResBlock(cout, gemm_mode=self.gemm_mode)(
-                h, same_map_out, mask_out, train, momentum
-            )
+            h = ResBlock(cout, **kw)(h, same_map_out, mask_out, train, momentum)
         return h
 
 
@@ -127,6 +140,7 @@ class ResNetUp(nn.Module):
     stride: int = 2
     num_blocks: int = 2
     gemm_mode: str = "fused"
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -139,6 +153,7 @@ class ResNetUp(nn.Module):
             stride=self.stride,
             num_blocks=self.num_blocks,
             gemm_mode=self.gemm_mode,
+            compute_dtype=self.compute_dtype,
             name="up",
         )(x, conv_map, same_map_out, mask_out, train, momentum)
 

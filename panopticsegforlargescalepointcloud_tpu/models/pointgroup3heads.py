@@ -100,6 +100,7 @@ class PanopticConfig:
     min_cluster_points: int = 100
     min_score: float = 0.5
     gemm_mode: str = "fused"
+    compute_dtype: str = "bfloat16"  # conv gather/GEMM precision (fp32 accum)
     backbone: str = "paper"  # "paper" (7 levels) | "tiny" (3 levels, CI)
 
     @property
@@ -158,7 +159,10 @@ class PointGroup3HeadsNet(nn.Module):
             plan = paper_backbone_plan(self.cfg.feat_dim, self.cfg.in_feat)
         else:
             plan = tiny_backbone_plan(self.cfg.feat_dim, self.cfg.in_feat)
-        self.backbone = SparseUNet(**plan, gemm_mode=self.cfg.gemm_mode)
+        self.backbone = SparseUNet(
+            **plan, gemm_mode=self.cfg.gemm_mode,
+            compute_dtype=self.cfg.compute_dtype,
+        )
         f = self.cfg.in_feat
         self.semantic_mlp = PointMLP((f,), use_bias=False)
         self.semantic_out = nn.Dense(self.cfg.num_classes)
@@ -166,7 +170,10 @@ class PointGroup3HeadsNet(nn.Module):
         self.offset_out = nn.Dense(3)
         self.embed_mlp = PointMLP((f,), use_bias=False)
         self.embed_out = nn.Dense(self.cfg.embed_dim)
-        self.scorer = SparseUNet(**scorer_unet_plan(f), gemm_mode=self.cfg.gemm_mode)
+        self.scorer = SparseUNet(
+            **scorer_unet_plan(f), gemm_mode=self.cfg.gemm_mode,
+            compute_dtype=self.cfg.compute_dtype,
+        )
         self.scorer_head = nn.Dense(1)
         if self.cfg.mask_supervise:
             self.mask_score_a = nn.Dense(f)

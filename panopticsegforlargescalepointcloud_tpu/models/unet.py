@@ -37,6 +37,7 @@ class SparseUNet(nn.Module):
     up_strides: Tuple[int, ...]
     num_blocks: int = 2
     gemm_mode: str = "fused"
+    compute_dtype: str = "float32"
 
     @property
     def output_nc(self) -> int:
@@ -59,6 +60,7 @@ class SparseUNet(nn.Module):
                 stride=s,
                 num_blocks=self.num_blocks,
                 gemm_mode=self.gemm_mode,
+                compute_dtype=self.compute_dtype,
                 name=f"down_{i}",
             )(
                 x,
@@ -90,6 +92,7 @@ class SparseUNet(nn.Module):
                 stride=s,
                 num_blocks=self.num_blocks,
                 gemm_mode=self.gemm_mode,
+                compute_dtype=self.compute_dtype,
                 name=f"up_{i}",
             )(
                 x,
@@ -119,6 +122,7 @@ class SparseEncoder(nn.Module):
     num_segments: int
     num_blocks: int = 2
     gemm_mode: str = "fused"
+    compute_dtype: str = "float32"
 
     @property
     def output_nc(self) -> int:
@@ -137,6 +141,7 @@ class SparseEncoder(nn.Module):
                 stride=s,
                 num_blocks=self.num_blocks,
                 gemm_mode=self.gemm_mode,
+                compute_dtype=self.compute_dtype,
                 name=f"down_{i}",
             )(
                 x,

@@ -15,6 +15,7 @@ from .sparse import (  # noqa: F401
     downsample,
     down_map,
     up_map,
+    up_map_from_down,
     KERNEL_OFFSETS_K3,
 )
 from .scatter import segment_sum, segment_mean, segment_max, segment_min  # noqa: F401

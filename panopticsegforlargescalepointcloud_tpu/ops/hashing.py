@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -116,8 +117,15 @@ def unpack_coords(
     return b, jnp.stack([x, y, z], axis=-1)
 
 
-def lookup(sorted_keys: jnp.ndarray, query_keys: jnp.ndarray) -> jnp.ndarray:
+def lookup(
+    sorted_keys: jnp.ndarray, query_keys: jnp.ndarray, method: str = "sort"
+) -> jnp.ndarray:
     """Find row indices of query keys in a sorted key table.
+
+    ``method="sort"`` co-sorts queries with the table (one XLA sort - far
+    faster on TPU than the default sequential binary-search scan, which
+    profiled ~6x the cost of the convs themselves); ``method="scan"`` falls
+    back to jnp.searchsorted.
 
     Args:
       sorted_keys: [N] uint32 ascending (INVALID_KEY padding at the end).
@@ -126,7 +134,30 @@ def lookup(sorted_keys: jnp.ndarray, query_keys: jnp.ndarray) -> jnp.ndarray:
     Returns:
       [...] int32 row index into ``sorted_keys``, or -1 if absent/invalid.
     """
-    idx = jnp.searchsorted(sorted_keys, query_keys, side="left").astype(jnp.int32)
+    shape = query_keys.shape
+    q = query_keys.reshape(-1)
+    if method == "sort":
+        n = sorted_keys.shape[0]
+        m = q.shape[0]
+        # Tag table entries with their row, queries with -1; stable-sort by
+        # key with table entries ordered *before* equal-keyed queries, then
+        # forward-propagate the last seen table row (cummax works because row
+        # ids only grow along the sorted key order).
+        all_keys = jnp.concatenate([sorted_keys, q])
+        tag = jnp.concatenate(
+            [jnp.arange(n, dtype=jnp.int32), jnp.full((m,), -1, jnp.int32)]
+        )
+        order = jnp.argsort(all_keys, stable=True)  # table rows come first
+        skeys = all_keys[order]
+        stags = tag[order]
+        last_row = jax.lax.cummax(jnp.where(stags >= 0, stags, -1))
+        cand = jnp.where(last_row >= 0, last_row, 0)
+        hit = (jnp.take(sorted_keys, cand) == skeys) & (last_row >= 0)
+        res_sorted = jnp.where(hit, cand, -1)
+        res = jnp.zeros((n + m,), jnp.int32).at[order].set(res_sorted)
+        out = jnp.where(q != INVALID_KEY, res[n:], -1)
+        return out.reshape(shape)
+    idx = jnp.searchsorted(sorted_keys, q, side="left").astype(jnp.int32)
     idx = jnp.minimum(idx, sorted_keys.shape[0] - 1)
-    hit = (sorted_keys[idx] == query_keys) & (query_keys != INVALID_KEY)
-    return jnp.where(hit, idx, jnp.int32(-1))
+    hit = (sorted_keys[idx] == q) & (q != INVALID_KEY)
+    return jnp.where(hit, idx, jnp.int32(-1)).reshape(shape)

@@ -25,7 +25,7 @@ from .sparse import (
     down_map,
     downsample,
     same_level_map,
-    up_map,
+    up_map_from_down,
 )
 
 
@@ -92,8 +92,9 @@ def build_hierarchy(
         overflows.append(dropped)
         grids.append(coarse)
         parents.append(parent)
-        down_maps.append(down_map(fine, coarse, KERNEL_OFFSETS_K3, bits))
-        up_maps.append(up_map(fine, coarse, KERNEL_OFFSETS_K3, bits))
+        dmap = down_map(fine, coarse, KERNEL_OFFSETS_K3, bits)
+        down_maps.append(dmap)
+        up_maps.append(up_map_from_down(dmap, fine.capacity))
         same_maps.append(same_level_map(coarse, KERNEL_OFFSETS_K3, bits))
         fine = coarse
 

@@ -144,22 +144,44 @@ def same_level_map(
     grid: SparseGrid,
     kernel_offsets: np.ndarray = KERNEL_OFFSETS_K3,
     bits: BitLayout = DEFAULT_BITS,
+    symmetric: bool = True,
 ) -> jnp.ndarray:
     """Kernel map for a stride-1 (submanifold) conv: out row i gathers input
     rows ``map[i, k]`` located at ``coords[i] + offsets[k]``.
+
+    With ``symmetric`` (odd centered kernels only) just the first (K-1)/2
+    offsets are looked up; the mirrored half follows by transposition
+    (nbr[i, k] = j  <=>  nbr[j, K-1-k] = i) and the center is the identity -
+    halving the dominant hash-lookup cost.
 
     Returns [N, K] int32 (-1 = no neighbor / padding row).
     """
     n = grid.capacity
     k = kernel_offsets.shape[0]
-    offs = jnp.asarray(kernel_offsets)  # [K, 3]
-    q_coords = grid.coords[:, None, :] + offs[None, :, :]  # [N, K, 3]
-    q_batch = jnp.broadcast_to(grid.batch[:, None], (n, k))
-    invalid = jnp.broadcast_to(jnp.logical_not(grid.mask)[:, None], (n, k))
+    use_sym = symmetric and np.array_equal(kernel_offsets, -kernel_offsets[::-1])
+    kq = (k - 1) // 2 if use_sym else k
+    offs = jnp.asarray(kernel_offsets[:kq])  # [Kq, 3]
+    q_coords = grid.coords[:, None, :] + offs[None, :, :]  # [N, Kq, 3]
+    q_batch = jnp.broadcast_to(grid.batch[:, None], (n, kq))
+    invalid = jnp.broadcast_to(jnp.logical_not(grid.mask)[:, None], (n, kq))
     q_keys = pack_coords(
         q_batch.reshape(-1), q_coords.reshape(-1, 3), bits, extra_invalid=invalid.reshape(-1)
     )
-    return lookup(grid.keys, q_keys).reshape(n, k)
+    half = lookup(grid.keys, q_keys).reshape(n, kq)
+    if not use_sym:
+        return half
+    nbr = jnp.full((n, k), -1, jnp.int32)
+    nbr = nbr.at[:, :kq].set(half)
+    self_idx = jnp.where(grid.mask, jnp.arange(n, dtype=jnp.int32), -1)
+    nbr = nbr.at[:, kq].set(self_idx)
+    # transpose the first half into the mirrored second half
+    rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, kq))
+    cols = jnp.broadcast_to(
+        (k - 1) - jnp.arange(kq, dtype=jnp.int32)[None, :], (n, kq)
+    )
+    tgt = jnp.where(half >= 0, jnp.maximum(half, 0) * k + cols, n * k)
+    flat = nbr.reshape(-1).at[tgt.reshape(-1)].set(rows.reshape(-1), mode="drop")
+    return flat.reshape(n, k)
 
 
 def downsample(
@@ -224,6 +246,26 @@ def down_map(
         q_batch.reshape(-1), q_coords.reshape(-1, 3), bits, extra_invalid=invalid.reshape(-1)
     )
     return lookup(fine.keys, q_keys).reshape(n, k)
+
+
+def up_map_from_down(dmap: jnp.ndarray, n_fine: int) -> jnp.ndarray:
+    """Derive the transpose-conv kernel map by transposing the down map
+    (identical connectivity: fine f = 2c + off  <=>  up offset -off), saving
+    all hash lookups. umap[f, K-1-k] = c wherever dmap[c, k] = f; the mapping
+    is collision-free because (f, off) determines c uniquely.
+
+    Returns [N_fine, K] int32 into coarse rows.
+    """
+    nc, k = dmap.shape
+    cols = jnp.broadcast_to(
+        (k - 1) - jnp.arange(k, dtype=jnp.int32)[None, :], (nc, k)
+    )
+    crows = jnp.broadcast_to(jnp.arange(nc, dtype=jnp.int32)[:, None], (nc, k))
+    tgt = jnp.where(dmap >= 0, jnp.maximum(dmap, 0) * k + cols, n_fine * k)
+    flat = jnp.full((n_fine * k,), -1, jnp.int32).at[tgt.reshape(-1)].set(
+        crows.reshape(-1), mode="drop"
+    )
+    return flat.reshape(n_fine, k)
 
 
 def up_map(

@@ -25,6 +25,7 @@ from panopticsegforlargescalepointcloud_tpu.ops import (
     sparse_conv,
     unpack_coords,
     up_map,
+    up_map_from_down,
 )
 
 
@@ -221,6 +222,9 @@ class TestConvParity:
 
         # up kernel map is the adjoint: fine f sees coarse (f+off)/2
         umap = np.asarray(up_map(fine, coarse))
+        # the transpose derivation must agree exactly with the direct lookup
+        umap2 = np.asarray(up_map_from_down(down_map(fine, coarse), fine.capacity))
+        np.testing.assert_array_equal(umap, umap2)
         ckeys = {
             (int(b), int(x), int(y), int(z)): i
             for i, (b, (x, y, z), m) in enumerate(zip(cb, cc, cm))
