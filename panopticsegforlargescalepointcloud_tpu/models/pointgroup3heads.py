@@ -49,8 +49,13 @@ from .losses import (
     semantic_nll_loss,
 )
 from .modules import PointMLP
-from .plans import paper_backbone_plan, scorer_unet_plan, tiny_backbone_plan
-from .unet import SparseUNet
+from .plans import (
+    paper_backbone_plan,
+    scorer_encoder_plan,
+    scorer_unet_plan,
+    tiny_backbone_plan,
+)
+from .unet import SparseEncoder, SparseUNet
 
 SCORER_BITS = BitLayout(8, 8, 6)  # batch field = proposal id (10 bits -> 1023)
 
@@ -170,10 +175,19 @@ class PointGroup3HeadsNet(nn.Module):
         self.offset_out = nn.Dense(3)
         self.embed_mlp = PointMLP((f,), use_bias=False)
         self.embed_out = nn.Dense(self.cfg.embed_dim)
-        self.scorer = SparseUNet(
-            **scorer_unet_plan(f), gemm_mode=self.cfg.gemm_mode,
-            compute_dtype=self.cfg.compute_dtype,
-        )
+        if self.cfg.scorer_type == "encoder":
+            self.scorer_encoder = SparseEncoder(
+                **scorer_encoder_plan(f), num_segments=self.cfg.total_props,
+                gemm_mode=self.cfg.gemm_mode, compute_dtype=self.cfg.compute_dtype,
+            )
+        elif self.cfg.scorer_type == "mlp":
+            # reference ScorerMLP: MLP([out_nc, out_nc, scorer_out_nc]) (:50)
+            self.scorer_mlp = PointMLP((f, f))
+        else:
+            self.scorer = SparseUNet(
+                **scorer_unet_plan(f), gemm_mode=self.cfg.gemm_mode,
+                compute_dtype=self.cfg.compute_dtype,
+            )
         self.scorer_head = nn.Dense(1)
         if self.cfg.mask_supervise:
             self.mask_score_a = nn.Dense(f)
@@ -199,7 +213,22 @@ class PointGroup3HeadsNet(nn.Module):
         momentum=0.1,
         epoch: int = 0,
     ):
-        """ScorerUnet -> (optional mask logits) -> segment max -> sigmoid head."""
+        """Scorer net (unet | mlp | encoder, reference _compute_score
+        :393-454) -> (optional mask logits) -> segment max -> sigmoid head."""
+        seg0 = jnp.where(prop_of_row >= 0, prop_of_row, -1)
+        if self.cfg.scorer_type == "encoder":
+            cluster_feats = self.scorer_encoder(
+                scorer_feats, scorer_hier, train, momentum
+            )
+            scores = jax.nn.sigmoid(self.scorer_head(cluster_feats))[:, 0]
+            return scores, None
+        if self.cfg.scorer_type == "mlp":
+            out = self.scorer_mlp(
+                scorer_feats, scorer_hier.grids[0].mask, train, momentum
+            )
+            cluster_feats = segment_max(out, seg0, num_props, fill=0.0)
+            scores = jax.nn.sigmoid(self.scorer_head(cluster_feats))[:, 0]
+            return scores, None
         out = self.scorer(scorer_feats, scorer_hier, train, momentum)
         mask_logits = None
         if self.cfg.mask_supervise:

@@ -105,7 +105,20 @@ def panoptic_forward(
         props = build_proposals(
             cfg, db.pos, off, emb, sem, db.grid.batch, db.grid.mask
         )
-        if cfg.use_score_net:
+        if cfg.use_score_net and not cfg.scorer_type:
+            # semantic-certainty confidence (reference _compute_score else
+            # branch :442-453): max class prob of the per-cluster mean logit
+            from ..ops.scatter import segment_mean
+
+            ok = props.member_valid & (props.prop_id >= 0)
+            pts = jnp.maximum(props.point_idx, 0)
+            seg = jnp.where(ok, props.prop_id, -1)
+            mean_logp = segment_mean(
+                jnp.take(sem, pts, axis=0) * ok[:, None], seg, cfg.total_props
+            )
+            scores = jnp.max(jnp.exp(mean_logp), axis=-1)
+            scores = jnp.where(props.prop_valid, scores, 0.0)
+        elif cfg.use_score_net:
             sg, shier, sfeats, member_row = scorer_inputs(
                 cfg, props, db.grid.coords, x
             )
