@@ -9,3 +9,4 @@ from .instance_metrics import (  # noqa: F401
     voc_ap,
 )
 from .merge import SceneAccumulator, block_merging  # noqa: F401
+from .visualizer import Visualizer  # noqa: F401

@@ -31,6 +31,7 @@ from ..data import PanopticFileDataset, collate_tiles, synthetic_tile
 from ..eval.confusion import ConfusionMatrix
 from ..eval.extract import extract_clusters, proposals_to_numpy
 from ..eval.instance_metrics import compute_acc, compute_eval
+from ..eval.visualizer import Visualizer
 from ..models.pointgroup3heads import PointGroup3HeadsNet
 from ..ops.hierarchy import build_hierarchy
 from ..utils.timer import StageTimers
@@ -149,6 +150,15 @@ class Trainer:
             run_dir=checkpoint_dir or self.tcfg.checkpoint_dir or ".",
         )
         self.timers = StageTimers()
+        viz_cfg = cfg.get("visualization", {}) or {}
+        self.visualizer = (
+            Visualizer(
+                out_dir=str(viz_cfg.get("out_dir", "viz")),
+                num_samples_per_epoch=int(viz_cfg.get("num_samples_per_epoch", 2)),
+            )
+            if viz_cfg.get("activate", False)
+            else None
+        )
         self.start_epoch = 1
         self.checkpoint = None
         if checkpoint_dir or self.tcfg.checkpoint_dir:
@@ -218,6 +228,8 @@ class Trainer:
                 {k: round(v, 4) for k, v in metrics.items()},
             )
             stage_metrics = {"train": metrics}
+            if self.visualizer is not None:
+                self.visualizer.begin_epoch(epoch)
             if epoch % self.tcfg.eval_frequency == 0:
                 val = self.eval_epoch(epoch, num_batches=max(nb // 10, 1))
                 stage_metrics["val"] = val
@@ -276,6 +288,13 @@ class Trainer:
             pred = np.asarray(jnp.argmax(out.semantic_logits, -1))
             ok = mask & (y >= 0)
             cm.count_predicted_batch(y[ok], pred[ok])
+            if self.visualizer is not None:
+                self.visualizer.maybe_save(
+                    np.asarray(db.pos), mask, y, pred,
+                    instance_labels=np.asarray(db.instance_labels),
+                    offsets=np.asarray(out.offset_logits),
+                    embeds=np.asarray(out.embed_logits),
+                )
             if with_instances and out.proposals is not None:
                 props = proposals_to_numpy(out.proposals)
                 scores = np.asarray(out.cluster_scores) if out.cluster_scores is not None else None
