@@ -18,6 +18,7 @@ from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 
+from .bucket import build_bucket_table
 from .hashing import BitLayout, DEFAULT_BITS
 from .sparse import (
     KERNEL_OFFSETS_K3,
@@ -76,13 +77,15 @@ def build_hierarchy(
         capacities = default_capacities(grid0.capacity, num_down)
     assert len(capacities) == num_down + 1
 
+    table0 = build_bucket_table(grid0.keys)
     grids = [grid0]
-    same_maps = [same_level_map(grid0, KERNEL_OFFSETS_K3, bits)]
+    same_maps = [same_level_map(grid0, KERNEL_OFFSETS_K3, bits, table=table0)]
     down_maps = []
     up_maps = []
     parents = []
-    overflows = []
+    overflows = [table0.overflow]
     fine = grid0
+    fine_table = table0
     for level in range(num_down):
         coarse, parent = downsample(fine, capacities[level + 1], bits)
         # voxels whose parent got dropped show up as parent == -1 on valid rows
@@ -92,11 +95,16 @@ def build_hierarchy(
         overflows.append(dropped)
         grids.append(coarse)
         parents.append(parent)
-        dmap = down_map(fine, coarse, KERNEL_OFFSETS_K3, bits)
+        dmap = down_map(fine, coarse, KERNEL_OFFSETS_K3, bits, fine_table=fine_table)
         down_maps.append(dmap)
         up_maps.append(up_map_from_down(dmap, fine.capacity))
-        same_maps.append(same_level_map(coarse, KERNEL_OFFSETS_K3, bits))
+        coarse_table = build_bucket_table(coarse.keys)
+        overflows.append(coarse_table.overflow)
+        same_maps.append(
+            same_level_map(coarse, KERNEL_OFFSETS_K3, bits, table=coarse_table)
+        )
         fine = coarse
+        fine_table = coarse_table
 
     return Hierarchy(
         grids=tuple(grids),

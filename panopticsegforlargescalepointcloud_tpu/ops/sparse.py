@@ -35,6 +35,7 @@ from typing import NamedTuple, Tuple
 import jax.numpy as jnp
 import numpy as np
 
+from .bucket import BucketTable, bucket_lookup
 from .hashing import BitLayout, DEFAULT_BITS, INVALID_KEY, lookup, pack_coords
 
 
@@ -145,6 +146,7 @@ def same_level_map(
     kernel_offsets: np.ndarray = KERNEL_OFFSETS_K3,
     bits: BitLayout = DEFAULT_BITS,
     symmetric: bool = True,
+    table: BucketTable | None = None,
 ) -> jnp.ndarray:
     """Kernel map for a stride-1 (submanifold) conv: out row i gathers input
     rows ``map[i, k]`` located at ``coords[i] + offsets[k]``.
@@ -167,7 +169,10 @@ def same_level_map(
     q_keys = pack_coords(
         q_batch.reshape(-1), q_coords.reshape(-1, 3), bits, extra_invalid=invalid.reshape(-1)
     )
-    half = lookup(grid.keys, q_keys).reshape(n, kq)
+    if table is not None:
+        half = bucket_lookup(table, q_keys).reshape(n, kq)
+    else:
+        half = lookup(grid.keys, q_keys).reshape(n, kq)
     if not use_sym:
         return half
     nbr = jnp.full((n, k), -1, jnp.int32)
@@ -229,6 +234,7 @@ def down_map(
     coarse: SparseGrid,
     kernel_offsets: np.ndarray = KERNEL_OFFSETS_K3,
     bits: BitLayout = DEFAULT_BITS,
+    fine_table: BucketTable | None = None,
 ) -> jnp.ndarray:
     """Kernel map for a stride-2 conv: coarse out row i gathers fine rows at
     ``2 * coarse_coords[i] + offsets[k]`` (ME stride-2 kernel-3 semantics in
@@ -245,6 +251,8 @@ def down_map(
     q_keys = pack_coords(
         q_batch.reshape(-1), q_coords.reshape(-1, 3), bits, extra_invalid=invalid.reshape(-1)
     )
+    if fine_table is not None:
+        return bucket_lookup(fine_table, q_keys).reshape(n, k)
     return lookup(fine.keys, q_keys).reshape(n, k)
 
 
