@@ -16,6 +16,12 @@ import sys
 
 def main():
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    # The dev image pins JAX_PLATFORMS=axon via sitecustomize (jax already
+    # imported); PST_PLATFORM=cpu re-targets after import.
+    if os.environ.get("PST_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["PST_PLATFORM"])
     overrides = [a for a in sys.argv[1:] if "=" in a]
     conf_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "conf")
 

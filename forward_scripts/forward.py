@@ -19,6 +19,12 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 def main():
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+    # The dev image pins JAX_PLATFORMS=axon via sitecustomize (jax already
+    # imported); PST_PLATFORM=cpu re-targets after import.
+    if os.environ.get("PST_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["PST_PLATFORM"])
     overrides = [a for a in sys.argv[1:] if "=" in a]
     conf_dir = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "conf")
 
