@@ -18,7 +18,6 @@ from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 
-from .bucket import build_bucket_table
 from .hashing import BitLayout, DEFAULT_BITS
 from .sparse import (
     KERNEL_OFFSETS_K3,
@@ -77,15 +76,16 @@ def build_hierarchy(
         capacities = default_capacities(grid0.capacity, num_down)
     assert len(capacities) == num_down + 1
 
-    table0 = build_bucket_table(grid0.keys)
+    # NOTE: a bucketed hash-table variant (ops/bucket.py) was benchmarked and
+    # is 4x slower than the sort-join lookup on v5e (random 16-slot gathers
+    # lose to one large co-sort); hierarchy uses the sort-join path.
     grids = [grid0]
-    same_maps = [same_level_map(grid0, KERNEL_OFFSETS_K3, bits, table=table0)]
+    same_maps = [same_level_map(grid0, KERNEL_OFFSETS_K3, bits)]
     down_maps = []
     up_maps = []
     parents = []
-    overflows = [table0.overflow]
+    overflows = []
     fine = grid0
-    fine_table = table0
     for level in range(num_down):
         coarse, parent = downsample(fine, capacities[level + 1], bits)
         # voxels whose parent got dropped show up as parent == -1 on valid rows
@@ -95,16 +95,11 @@ def build_hierarchy(
         overflows.append(dropped)
         grids.append(coarse)
         parents.append(parent)
-        dmap = down_map(fine, coarse, KERNEL_OFFSETS_K3, bits, fine_table=fine_table)
+        dmap = down_map(fine, coarse, KERNEL_OFFSETS_K3, bits)
         down_maps.append(dmap)
         up_maps.append(up_map_from_down(dmap, fine.capacity))
-        coarse_table = build_bucket_table(coarse.keys)
-        overflows.append(coarse_table.overflow)
-        same_maps.append(
-            same_level_map(coarse, KERNEL_OFFSETS_K3, bits, table=coarse_table)
-        )
+        same_maps.append(same_level_map(coarse, KERNEL_OFFSETS_K3, bits))
         fine = coarse
-        fine_table = coarse_table
 
     return Hierarchy(
         grids=tuple(grids),
