@@ -87,6 +87,7 @@ def main():
         # the reference hard-codes the 0.1 IoU adoption threshold
         # (panoptic_tracker_pointgroup_treeins.py:474); None selects it
         th_merge=None,
+        voting_runs=int(cfg.get("voting_runs", 1)),
     )
     import json
 

@@ -257,3 +257,14 @@ class PanopticFileDataset:
     @property
     def num_classes(self) -> int:
         return self.spec.num_classes
+
+    def class_weights(self) -> np.ndarray:
+        """sqrt-inverse-frequency class weights (reference
+        BaseDataset.add_weights, base_dataset.py:531-561)."""
+        counts = np.zeros(self.spec.num_classes, np.float64)
+        for c in self.clouds:
+            y = c["y"]
+            y = y[y >= 0]
+            counts += np.bincount(y, minlength=self.spec.num_classes)
+        w = 1.0 / np.sqrt(np.maximum(counts, 1.0))
+        return (w / w.sum() * self.spec.num_classes).astype(np.float32)

@@ -52,6 +52,7 @@ class FullSceneEvaluator:
         out_dir: str = ".",
         ply_output: bool = True,
         th_merge: Optional[float] = None,
+        voting_runs: int = 1,
     ) -> List[Dict[str, float]]:
         os.makedirs(out_dir, exist_ok=True)
         th = 0.1 if th_merge is None else th_merge
@@ -65,8 +66,9 @@ class FullSceneEvaluator:
             acc = SceneAccumulator(raw["pos"], self.pcfg.num_classes)
             tiles = self.dataset.test_tiles(fi)
             log.info("file %d: %d tiles", fi, len(tiles))
-            for tile, tile_full_ids in tiles:
-                self._process_tile(acc, tile, tile_full_ids, th)
+            for _vote in range(max(int(voting_runs), 1)):
+                for tile, tile_full_ids in tiles:
+                    self._process_tile(acc, tile, tile_full_ids, th)
             sem, ins = acc.finalise(
                 stuff_classes=self.pcfg.stuff_classes,
                 distance_cutoff=1.0,

@@ -30,7 +30,12 @@ from ..config.schema import (
 from ..data import PanopticFileDataset, collate_tiles, synthetic_tile
 from ..eval.confusion import ConfusionMatrix
 from ..eval.extract import extract_clusters, proposals_to_numpy
-from ..eval.instance_metrics import compute_acc, compute_eval
+from ..eval.instance_metrics import (
+    InstanceAPMeter,
+    _Instance,
+    compute_acc,
+    compute_eval,
+)
 from ..eval.visualizer import Visualizer
 from ..models.pointgroup3heads import PointGroup3HeadsNet
 from ..ops.hierarchy import build_hierarchy
@@ -274,6 +279,8 @@ class Trainer:
         fwd = self._eval_fwd if with_instances else self._eval_fwd_basic
         cm = ConfusionMatrix(self.pcfg.num_classes)
         inst_metrics: List[tuple] = []
+        ap_meter = InstanceAPMeter()
+        scan_offset = 0
         for _ in range(num_batches):
             tiles = [
                 self.val_dataset.sample_train_tile(self.rng)
@@ -314,6 +321,34 @@ class Trainer:
                         self.pcfg.num_classes, self.spec.thing_classes,
                     )
                     inst_metrics.append(acc + ev)
+                    # VOC AP over accumulated scans (tracker 'map' metric)
+                    sc = scores if scores is not None else np.ones(0)
+                    preds_i = [
+                        _Instance(
+                            classname=int(np.bincount(pred[c]).argmax()),
+                            score=float(sc[k]) if scores is not None else -1.0,
+                            indices=c,
+                            scan_id=int(batch[c[0]]) + scan_offset,
+                        )
+                        for c, k in zip(clusters, range(len(clusters)))
+                    ]
+                    gts_i = []
+                    for s_id in np.unique(batch[batch >= 0]):
+                        smask = batch == s_id
+                        for g in np.unique(inst[smask]):
+                            if g <= 0:
+                                continue
+                            idxs = np.where((inst == g) & smask)[0]
+                            gts_i.append(
+                                _Instance(
+                                    classname=int(np.bincount(np.maximum(y[idxs], 0)).argmax()),
+                                    score=-1.0,
+                                    indices=idxs,
+                                    scan_id=int(s_id) + scan_offset,
+                                )
+                            )
+                    ap_meter.add(preds_i, gts_i)
+                    scan_offset += int(batch.max()) + 1
         out_metrics = {
             "miou": cm.get_average_intersection_union(),
             "acc": cm.get_overall_accuracy(),
@@ -325,4 +360,7 @@ class Trainer:
                 ["pos", "neg", "Iacc", "cov", "wcov", "mIPre", "mIRec", "F1"]
             ):
                 out_metrics[k] = float(arr[:, i].mean())
+            _, _, aps = ap_meter.eval(0.5)
+            if aps:
+                out_metrics["map"] = float(np.mean(list(aps.values())))
         return out_metrics
