@@ -305,7 +305,7 @@ class Trainer:
             if with_instances and out.proposals is not None:
                 props = proposals_to_numpy(out.proposals)
                 scores = np.asarray(out.cluster_scores) if out.cluster_scores is not None else None
-                clusters, _ = extract_clusters(
+                clusters, kept_ids = extract_clusters(
                     props, scores, len(mask),
                     nms_threshold=self.pcfg.nms_threshold,
                     min_cluster_points=self.pcfg.min_cluster_points,
@@ -322,15 +322,14 @@ class Trainer:
                     )
                     inst_metrics.append(acc + ev)
                     # VOC AP over accumulated scans (tracker 'map' metric)
-                    sc = scores if scores is not None else np.ones(0)
                     preds_i = [
                         _Instance(
                             classname=int(np.bincount(pred[c]).argmax()),
-                            score=float(sc[k]) if scores is not None else -1.0,
+                            score=float(scores[k]) if scores is not None else -1.0,
                             indices=c,
                             scan_id=int(batch[c[0]]) + scan_offset,
                         )
-                        for c, k in zip(clusters, range(len(clusters)))
+                        for c, k in zip(clusters, kept_ids)
                     ]
                     gts_i = []
                     for s_id in np.unique(batch[batch >= 0]):
