@@ -21,6 +21,7 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.brick import BrickLevel, brick_conv
 from ..ops.conv import sparse_conv
 from .norm import MaskedBatchNorm
 
@@ -43,16 +44,23 @@ class SparseConv(nn.Module):
     compute_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, nbr_idx: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, ctx) -> jnp.ndarray:
+        """``ctx`` is either a [N, K] row kernel map (strided convs) or a
+        BrickLevel (submanifold convs -> brick-dense path)."""
         cin = x.shape[-1]
         w = self.param(
             "kernel", conv_init, (self.kernel_volume, cin, self.features), jnp.float32
         )
         cdt = jnp.dtype(self.compute_dtype)
-        out = sparse_conv(
-            x.astype(cdt), nbr_idx, w.astype(cdt), mode=self.gemm_mode,
-            out_dtype=jnp.float32,
-        )
+        if isinstance(ctx, BrickLevel):
+            out = brick_conv(
+                x, ctx, w, compute_dtype=cdt, out_dtype=jnp.float32
+            )
+        else:
+            out = sparse_conv(
+                x.astype(cdt), ctx, w.astype(cdt), mode=self.gemm_mode,
+                out_dtype=jnp.float32,
+            )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             out = out + b.astype(out.dtype)
@@ -66,11 +74,11 @@ class ConvBNReLU(nn.Module):
     compute_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, x, nbr_idx, mask, train: bool, momentum=0.1):
+    def __call__(self, x, ctx, mask, train: bool, momentum=0.1):
         h = SparseConv(
             self.features, self.kernel_volume, gemm_mode=self.gemm_mode,
             compute_dtype=self.compute_dtype,
-        )(x, nbr_idx)
+        )(x, ctx)
         h = MaskedBatchNorm()(h, mask, train, momentum)
         return nn.relu(h)
 
@@ -87,10 +95,10 @@ class ResBlock(nn.Module):
     compute_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, x, same_map, mask, train: bool, momentum=0.1):
+    def __call__(self, x, same_ctx, mask, train: bool, momentum=0.1):
         kw = dict(gemm_mode=self.gemm_mode, compute_dtype=self.compute_dtype)
-        h = ConvBNReLU(self.features, **kw)(x, same_map, mask, train, momentum)
-        h = ConvBNReLU(self.features, **kw)(h, same_map, mask, train, momentum)
+        h = ConvBNReLU(self.features, **kw)(x, same_ctx, mask, train, momentum)
+        h = ConvBNReLU(self.features, **kw)(h, same_ctx, mask, train, momentum)
         if x.shape[-1] != self.features:
             # 1x1 conv == pointwise dense (kernel volume 1, offset (0,0,0))
             sc = nn.Dense(self.features, use_bias=False, kernel_init=conv_init)(x)
@@ -115,20 +123,20 @@ class ResNetDown(nn.Module):
     compute_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, x, conv_map, same_map_out, mask_out, train: bool, momentum=0.1):
+    def __call__(self, x, conv_ctx, same_ctx_out, mask_out, train: bool, momentum=0.1):
         """Args:
         x: input features at the source level.
-        conv_map: kernel map for the first conv (down_map if stride 2, else
-          same-level map); rows index the *output* level.
-        same_map_out: same-level map at the output level (for the ResBlocks).
+        conv_ctx: ctx for the first conv (down row-map if stride 2, else the
+          output level's BrickLevel); rows index the *output* level.
+        same_ctx_out: BrickLevel at the output level (for the ResBlocks).
         mask_out: valid mask at the output level.
         """
         cin, cout = self.conv_nn
         first_out = cin if self.stride > 1 else cout
         kw = dict(gemm_mode=self.gemm_mode, compute_dtype=self.compute_dtype)
-        h = ConvBNReLU(first_out, **kw)(x, conv_map, mask_out, train, momentum)
+        h = ConvBNReLU(first_out, **kw)(x, conv_ctx, mask_out, train, momentum)
         for _ in range(self.num_blocks):
-            h = ResBlock(cout, **kw)(h, same_map_out, mask_out, train, momentum)
+            h = ResBlock(cout, **kw)(h, same_ctx_out, mask_out, train, momentum)
         return h
 
 
@@ -144,7 +152,7 @@ class ResNetUp(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x, skip, conv_map, same_map_out, mask_out, train: bool, momentum=0.1
+        self, x, skip, conv_ctx, same_ctx_out, mask_out, train: bool, momentum=0.1
     ):
         if skip is not None:
             x = jnp.concatenate([x, skip], axis=-1)
@@ -155,7 +163,7 @@ class ResNetUp(nn.Module):
             gemm_mode=self.gemm_mode,
             compute_dtype=self.compute_dtype,
             name="up",
-        )(x, conv_map, same_map_out, mask_out, train, momentum)
+        )(x, conv_ctx, same_ctx_out, mask_out, train, momentum)
 
 
 class PointMLP(nn.Module):

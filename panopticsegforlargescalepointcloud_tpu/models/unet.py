@@ -50,10 +50,10 @@ class SparseUNet(nn.Module):
         n_down = len(self.down_channels)
         for i, (nn_ch, s) in enumerate(zip(self.down_channels, self.down_strides)):
             if s == 1:
-                conv_map = hier.same_maps[level]
+                conv_ctx = hier.bricks[level]
                 out_level = level
             else:
-                conv_map = hier.down_maps[level]
+                conv_ctx = hier.down_maps[level]
                 out_level = level + 1
             h = ResNetDown(
                 conv_nn=nn_ch,
@@ -64,8 +64,8 @@ class SparseUNet(nn.Module):
                 name=f"down_{i}",
             )(
                 x,
-                conv_map,
-                hier.same_maps[out_level],
+                conv_ctx,
+                hier.bricks[out_level],
                 hier.grids[out_level].mask,
                 train,
                 momentum,
@@ -82,10 +82,10 @@ class SparseUNet(nn.Module):
                 f"up module {i}: skip level {skip_level} != current level {level}"
             )
             if s == 1:
-                conv_map = hier.same_maps[level]
+                conv_ctx = hier.bricks[level]
                 out_level = level
             else:
-                conv_map = hier.up_maps[level - 1]
+                conv_ctx = hier.up_maps[level - 1]
                 out_level = level - 1
             x = ResNetUp(
                 conv_nn=nn_ch,
@@ -97,8 +97,8 @@ class SparseUNet(nn.Module):
             )(
                 x,
                 skip,
-                conv_map,
-                hier.same_maps[out_level],
+                conv_ctx,
+                hier.bricks[out_level],
                 hier.grids[out_level].mask,
                 train,
                 momentum,
@@ -133,9 +133,9 @@ class SparseEncoder(nn.Module):
         level = 0
         for i, (nn_ch, s) in enumerate(zip(self.down_channels, self.down_strides)):
             if s == 1:
-                conv_map, out_level = hier.same_maps[level], level
+                conv_ctx, out_level = hier.bricks[level], level
             else:
-                conv_map, out_level = hier.down_maps[level], level + 1
+                conv_ctx, out_level = hier.down_maps[level], level + 1
             x = ResNetDown(
                 conv_nn=nn_ch,
                 stride=s,
@@ -145,8 +145,8 @@ class SparseEncoder(nn.Module):
                 name=f"down_{i}",
             )(
                 x,
-                conv_map,
-                hier.same_maps[out_level],
+                conv_ctx,
+                hier.bricks[out_level],
                 hier.grids[out_level].mask,
                 train,
                 momentum,

@@ -5,11 +5,18 @@ and kernel maps (built lazily inside CUDA convs in the reference; here built
 once per step, on device, and shared by every conv at a level - the backbone
 applies 4N+2 convs per level, so map reuse matters).
 
+Stride-1 (submanifold) convs use the brick-dense formulation
+(:mod:`.brick`): each level carries a BrickLevel (voxel->brick tiling +
+brick-level neighbor map) instead of a voxel-level 27-neighbor map - brick
+lookups are ~an order of magnitude fewer queries and the conv itself becomes
+a dense ``lax.conv``. Strided transitions keep row-gather kernel maps (2 per
+level vs 8 submanifold convs); up maps are derived from down maps by
+transposition (identical connectivity, no lookups).
+
 All shapes are static: level capacities are a config tuple. Real LiDAR tiles
 lose ~2-4x occupancy per stride-2 level; capacities default to a conservative
-halving schedule with a floor. Overflow (more unique coarse voxels than
-capacity) drops the highest-key voxels deterministically; `overflow` flags
-let trainers surface a warning metric.
+halving schedule with a floor. Overflow (unique coarse voxels or bricks
+beyond capacity) drops deterministically and is surfaced via ``overflow``.
 """
 
 from __future__ import annotations
@@ -18,31 +25,31 @@ from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 
+from .brick import BrickLevel, build_brick_level
 from .hashing import BitLayout, DEFAULT_BITS
 from .sparse import (
     KERNEL_OFFSETS_K3,
     SparseGrid,
     down_map,
     downsample,
-    same_level_map,
     up_map_from_down,
 )
 
 
 class Hierarchy(NamedTuple):
-    """Grids and kernel maps for an L-level sparse UNet.
+    """Grids, brick tilings and strided kernel maps for an L-level UNet.
 
     Attributes:
       grids: length L+1; grids[l] at stride 2^l (coords in stride units).
-      same_maps: length L+1; [N_l, 27] submanifold map at each level.
+      bricks: length L+1; brick tiling per level (submanifold convs).
       down_maps: length L; [N_{l+1}, 27] stride-2 conv map (gathers level l).
       up_maps: length L; [N_l, 27] transpose conv map (gathers level l+1).
       parents: length L; [N_l] int32 fine row -> coarse row (pooling map).
-      overflow: [L] int32, number of coarse voxels dropped per transition.
+      overflow: [*] int32 dropped voxel/brick counters.
     """
 
     grids: Tuple[SparseGrid, ...]
-    same_maps: Tuple[jnp.ndarray, ...]
+    bricks: Tuple[BrickLevel, ...]
     down_maps: Tuple[jnp.ndarray, ...]
     up_maps: Tuple[jnp.ndarray, ...]
     parents: Tuple[jnp.ndarray, ...]
@@ -70,42 +77,46 @@ def build_hierarchy(
     num_down: int,
     capacities: Tuple[int, ...] | None = None,
     bits: BitLayout = DEFAULT_BITS,
+    brick_size: int = 4,
+    brick_capacity_factor: float = 0.25,
+    brick_floor: int = 512,
 ) -> Hierarchy:
-    """Build grids + kernel maps for `num_down` stride-2 transitions."""
+    """Build grids + brick tilings + strided kernel maps."""
     if capacities is None:
         capacities = default_capacities(grid0.capacity, num_down)
     assert len(capacities) == num_down + 1
 
-    # NOTE: a bucketed hash-table variant (ops/bucket.py) was benchmarked and
-    # is 4x slower than the sort-join lookup on v5e (random 16-slot gathers
-    # lose to one large co-sort); hierarchy uses the sort-join path.
+    def bricks_for(grid: SparseGrid, cap: int) -> BrickLevel:
+        nb = max(int(cap * brick_capacity_factor), min(brick_floor, cap))
+        return build_brick_level(grid, nb, brick_size, bits)
+
     grids = [grid0]
-    same_maps = [same_level_map(grid0, KERNEL_OFFSETS_K3, bits)]
+    bricks = [bricks_for(grid0, capacities[0])]
     down_maps = []
     up_maps = []
     parents = []
-    overflows = []
+    overflows = [bricks[0].overflow]
     fine = grid0
     for level in range(num_down):
         coarse, parent = downsample(fine, capacities[level + 1], bits)
         # voxels whose parent got dropped show up as parent == -1 on valid rows
-        dropped = jnp.sum(
-            ((parent < 0) & fine.mask).astype(jnp.int32)
-        )
+        dropped = jnp.sum(((parent < 0) & fine.mask).astype(jnp.int32))
         overflows.append(dropped)
         grids.append(coarse)
         parents.append(parent)
         dmap = down_map(fine, coarse, KERNEL_OFFSETS_K3, bits)
         down_maps.append(dmap)
         up_maps.append(up_map_from_down(dmap, fine.capacity))
-        same_maps.append(same_level_map(coarse, KERNEL_OFFSETS_K3, bits))
+        b = bricks_for(coarse, capacities[level + 1])
+        bricks.append(b)
+        overflows.append(b.overflow)
         fine = coarse
 
     return Hierarchy(
         grids=tuple(grids),
-        same_maps=tuple(same_maps),
+        bricks=tuple(bricks),
         down_maps=tuple(down_maps),
         up_maps=tuple(up_maps),
         parents=tuple(parents),
-        overflow=jnp.stack(overflows) if overflows else jnp.zeros((0,), jnp.int32),
+        overflow=jnp.stack(overflows),
     )
