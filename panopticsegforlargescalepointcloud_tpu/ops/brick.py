@@ -22,6 +22,8 @@ same-map lookups (13 x N queries) with brick-level ones (13 x N/occ queries).
 
 from __future__ import annotations
 
+import os
+
 import flax.struct
 import jax
 import jax.numpy as jnp
@@ -96,10 +98,39 @@ def build_brick_level(
     )
 
 
-def _halo_ranges(bs: int):
-    """Per-axis (halo_start, halo_len, src_start) for offsets -1, 0, +1 with a
-    1-voxel halo: offset -1 contributes its last plane, +1 its first."""
-    return {-1: (0, 1, bs - 1), 0: (1, bs, 0), 1: (bs + 1, 1, 0)}
+def _halo_tables(bs: int):
+    """Static halo-cell provenance: for every cell of the (bs+2)^3 halo, the
+    kernel-offset index k (which neighbor brick) and the slot inside it."""
+    h = bs + 2
+    cell_k = np.zeros(h ** 3, np.int32)
+    cell_slot = np.zeros(h ** 3, np.int32)
+    for hx in range(h):
+        ox = -1 if hx == 0 else (1 if hx == h - 1 else 0)
+        sx = (hx - 1) % bs
+        for hy in range(h):
+            oy = -1 if hy == 0 else (1 if hy == h - 1 else 0)
+            sy = (hy - 1) % bs
+            for hz in range(h):
+                oz = -1 if hz == 0 else (1 if hz == h - 1 else 0)
+                sz = (hz - 1) % bs
+                c = (hx * h + hy) * h + hz
+                cell_k[c] = ((ox + 1) * 3 + (oy + 1)) * 3 + (oz + 1)
+                cell_slot[c] = (sx * bs + sy) * bs + sz
+    return cell_k, cell_slot
+
+
+def _unfold_table(bs: int):
+    """out cell o (bs^3), kernel offset k (27) -> halo cell index ((bs+2)^3),
+    matching the z-fastest lexicographic offset order of KERNEL_OFFSETS_K3."""
+    h = bs + 2
+    idx = np.zeros((bs ** 3, 27), np.int32)
+    for x in range(bs):
+        for y in range(bs):
+            for z in range(bs):
+                o = (x * bs + y) * bs + z
+                for kk, (dx, dy, dz) in enumerate(KERNEL_OFFSETS_K3):
+                    idx[o, kk] = ((x + 1 + dx) * h + (y + 1 + dy)) * h + (z + 1 + dz)
+    return idx
 
 
 def brick_conv(
@@ -108,55 +139,57 @@ def brick_conv(
     weights: jnp.ndarray,
     compute_dtype=jnp.bfloat16,
     out_dtype=jnp.float32,
+    impl: str | None = None,
 ) -> jnp.ndarray:
     """Submanifold 3x3x3 conv via dense bricks. weights: [27, Cin, Cout] in the
-    z-fastest lexicographic offset order (== KERNEL_OFFSETS_K3)."""
+    z-fastest lexicographic offset order (== KERNEL_OFFSETS_K3).
+
+    Halo assembly is ONE gather with a statically-patterned index array
+    (halo cell c of brick b reads dense row ``nbr[b, k(c)] * vol + slot(c)``).
+    ``impl="conv"`` then runs lax.conv on the [NB, bs+2, ...] halo;
+    ``impl="unfold"`` im2cols with a static index table and runs a single
+    [NB*vol, 27*Cin] @ [27*Cin, Cout] GEMM.
+    """
+    if impl is None:
+        impl = os.environ.get("PST_BRICK_IMPL", "unfold")
     n, cin = feats.shape
     k, wcin, cout = weights.shape
     assert k == 27 and wcin == cin
     bs = level.brick_size
     vol = bs ** 3
     nb = level.num_bricks
+    h = bs + 2
 
     cdt = jnp.dtype(compute_dtype)
     x = feats.astype(cdt)
     dense = jnp.zeros(((nb + 1) * vol, cin), cdt)
     tgt = jnp.where(level.brick_row >= 0, level.brick_row * vol + level.slot, (nb + 1) * vol)
     dense = dense.at[tgt].set(x, mode="drop")
-    dense = dense.reshape(nb + 1, vol, cin)
 
-    # halo assembly: 27 whole-brick gathers + static slab placement
-    h = bs + 2
-    halo = jnp.zeros((nb, h, h, h, cin), cdt)
+    cell_k, cell_slot = _halo_tables(bs)
     safe_nbr = jnp.where(level.nbr >= 0, level.nbr, nb)  # nb = zero brick
-    rng = _halo_ranges(bs)
-    for kk, (ox, oy, oz) in enumerate(np.asarray(KERNEL_OFFSETS_K3)):
-        nbf = jnp.take(dense, safe_nbr[:, kk], axis=0)  # [NB, vol, Cin]
-        nbf = nbf.reshape(nb, bs, bs, bs, cin)
-        hx, lx, sx = rng[int(ox)]
-        hy, ly, sy = rng[int(oy)]
-        hz, lz, sz = rng[int(oz)]
-        halo = jax.lax.dynamic_update_slice(
-            halo,
-            jax.lax.slice(
-                nbf, (0, sx, sy, sz, 0), (nb, sx + lx, sy + ly, sz + lz, cin)
-            ),
-            (0, hx, hy, hz, 0),
-        )
+    # [NB, h^3] flat dense-row index per halo cell; one gather builds the halo
+    halo_rows = jnp.take(safe_nbr, jnp.asarray(cell_k), axis=1) * vol + jnp.asarray(
+        cell_slot
+    )[None, :]
+    halo = jnp.take(dense, halo_rows.reshape(-1), axis=0).reshape(nb, h ** 3, cin)
 
-    w = weights.astype(cdt).reshape(3, 3, 3, cin, cout)
-    # No preferred_element_type: its f32 output makes the conv VJP mix f32
-    # cotangents with bf16 operands (TypeError). XLA still accumulates the
-    # MXU contraction in fp32 internally; only the stored result is cdt.
-    out = jax.lax.conv_general_dilated(
-        halo,
-        w,
-        window_strides=(1, 1, 1),
-        padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-    )  # [NB, bs, bs, bs, Cout] in cdt
+    if impl == "conv":
+        w = weights.astype(cdt).reshape(3, 3, 3, cin, cout)
+        out = jax.lax.conv_general_dilated(
+            halo.reshape(nb, h, h, h, cin),
+            w,
+            window_strides=(1, 1, 1),
+            padding="VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        ).reshape(nb * vol, cout)
+    else:
+        unfold = jnp.asarray(_unfold_table(bs))  # [vol, 27] static
+        g = jnp.take(halo, unfold.reshape(-1), axis=1)  # [NB, vol*27, Cin]
+        g = g.reshape(nb * vol, 27 * cin)
+        out = jnp.dot(g, weights.astype(cdt).reshape(27 * cin, cout))
+        out = out.reshape(nb * vol, cout)
 
-    out = out.reshape(nb * vol, cout)
     src = jnp.where(
         level.brick_row >= 0, level.brick_row * vol + level.slot, 0
     )

@@ -45,14 +45,15 @@ class TestBrickConv:
         for bs in (2, 4):
             level = build_brick_level(grid, num_bricks=cap, brick_size=bs)
             assert int(level.overflow) == 0
-            got = np.asarray(
-                brick_conv(
-                    jnp.asarray(feats), level, jnp.asarray(w),
-                    compute_dtype=jnp.float32,
+            for impl in ("unfold", "conv"):
+                got = np.asarray(
+                    brick_conv(
+                        jnp.asarray(feats), level, jnp.asarray(w),
+                        compute_dtype=jnp.float32, impl=impl,
+                    )
                 )
-            )
-            np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4,
-                                       err_msg=f"bs={bs}")
+                np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4,
+                                           err_msg=f"bs={bs} impl={impl}")
 
     def test_overflow_counter(self, rng):
         grid, n = build(rng, n=300)
