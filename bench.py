@@ -85,7 +85,10 @@ def main():
     def forward(params, batch_stats, feats, arrays):
         db = canonicalize(*arrays)
         db = db._replace(feats=feats)
-        hier = build_hierarchy(db.grid, cfg.num_down)
+        hier = build_hierarchy(
+            db.grid, cfg.num_down, use_bricks=cfg.use_bricks,
+            brick_size=cfg.brick_size, brick_capacity_factor=cfg.brick_factor,
+        )
         variables = {"params": params, "batch_stats": batch_stats}
         x, sem, off, emb = model.apply(
             variables,

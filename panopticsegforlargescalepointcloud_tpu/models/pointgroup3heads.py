@@ -107,6 +107,9 @@ class PanopticConfig:
     gemm_mode: str = "fused"
     compute_dtype: str = "bfloat16"  # conv gather/GEMM precision (fp32 accum)
     backbone: str = "paper"  # "paper" (7 levels) | "tiny" (3 levels, CI)
+    use_bricks: bool = False  # brick-dense submanifold convs (see PLAN.md)
+    brick_size: int = 2  # submanifold-conv brick edge (ops/brick.py)
+    brick_factor: float = 0.5  # brick capacity per level voxel capacity
 
     @property
     def num_down(self) -> int:
@@ -382,7 +385,10 @@ def scorer_inputs(
     feats = jnp.take(backbone_feats, pt, axis=0)
     sf = jnp.zeros((m, backbone_feats.shape[1]), backbone_feats.dtype)
     sf = sf.at[jnp.where(ok, inverse, m)].set(feats, mode="drop")
-    hier = build_hierarchy(grid, num_down=2, bits=SCORER_BITS)
+    hier = build_hierarchy(
+        grid, num_down=2, bits=SCORER_BITS, use_bricks=cfg.use_bricks,
+        brick_size=cfg.brick_size, brick_capacity_factor=cfg.brick_factor,
+    )
     return grid, hier, sf, inverse
 
 

@@ -32,6 +32,7 @@ from .sparse import (
     SparseGrid,
     down_map,
     downsample,
+    same_level_map,
     up_map_from_down,
 )
 
@@ -41,7 +42,8 @@ class Hierarchy(NamedTuple):
 
     Attributes:
       grids: length L+1; grids[l] at stride 2^l (coords in stride units).
-      bricks: length L+1; brick tiling per level (submanifold convs).
+      bricks: length L+1; per-level submanifold-conv context: a [N, 27] row
+        kernel map (default) or a BrickLevel when use_bricks is on.
       down_maps: length L; [N_{l+1}, 27] stride-2 conv map (gathers level l).
       up_maps: length L; [N_l, 27] transpose conv map (gathers level l+1).
       parents: length L; [N_l] int32 fine row -> coarse row (pooling map).
@@ -77,25 +79,37 @@ def build_hierarchy(
     num_down: int,
     capacities: Tuple[int, ...] | None = None,
     bits: BitLayout = DEFAULT_BITS,
-    brick_size: int = 4,
-    brick_capacity_factor: float = 0.25,
+    use_bricks: bool = False,
+    brick_size: int = 2,
+    brick_capacity_factor: float = 0.5,
     brick_floor: int = 512,
 ) -> Hierarchy:
-    """Build grids + brick tilings + strided kernel maps."""
+    """Build grids + per-level submanifold contexts + strided kernel maps.
+
+    use_bricks=False (default): submanifold convs use [N, 27] row kernel maps
+    (sort-join lookups). The brick-dense alternative (ops/brick.py) is exact
+    but benchmarked ~2x slower on v5e (PLAN.md) - kept behind this flag for
+    hardware where contiguous brick gathers win.
+    """
     if capacities is None:
         capacities = default_capacities(grid0.capacity, num_down)
     assert len(capacities) == num_down + 1
 
-    def bricks_for(grid: SparseGrid, cap: int) -> BrickLevel:
+    def bricks_for(grid: SparseGrid, cap: int):
+        if not use_bricks:
+            m = same_level_map(grid, KERNEL_OFFSETS_K3, bits)
+            return m, jnp.zeros((), jnp.int32)
         nb = max(int(cap * brick_capacity_factor), min(brick_floor, cap))
-        return build_brick_level(grid, nb, brick_size, bits)
+        b = build_brick_level(grid, nb, brick_size, bits)
+        return b, b.overflow
 
     grids = [grid0]
-    bricks = [bricks_for(grid0, capacities[0])]
+    ctx0, ov0 = bricks_for(grid0, capacities[0])
+    bricks = [ctx0]
     down_maps = []
     up_maps = []
     parents = []
-    overflows = [bricks[0].overflow]
+    overflows = [ov0]
     fine = grid0
     for level in range(num_down):
         coarse, parent = downsample(fine, capacities[level + 1], bits)
@@ -107,9 +121,9 @@ def build_hierarchy(
         dmap = down_map(fine, coarse, KERNEL_OFFSETS_K3, bits)
         down_maps.append(dmap)
         up_maps.append(up_map_from_down(dmap, fine.capacity))
-        b = bricks_for(coarse, capacities[level + 1])
-        bricks.append(b)
-        overflows.append(b.overflow)
+        ctx, ov = bricks_for(coarse, capacities[level + 1])
+        bricks.append(ctx)
+        overflows.append(ov)
         fine = coarse
 
     return Hierarchy(

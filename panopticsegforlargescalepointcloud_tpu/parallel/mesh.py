@@ -58,7 +58,10 @@ def make_parallel_train_step(
     def device_step(state: TrainState, arrays):
         arrays = tuple(a[0] for a in arrays)  # shard_map gives [1, ...] blocks
         db = canonicalize(*arrays)
-        hier = build_hierarchy(db.grid, cfg.num_down)
+        hier = build_hierarchy(
+            db.grid, cfg.num_down, use_bricks=cfg.use_bricks,
+            brick_size=cfg.brick_size, brick_capacity_factor=cfg.brick_factor,
+        )
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}

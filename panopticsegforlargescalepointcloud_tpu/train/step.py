@@ -212,7 +212,10 @@ def make_train_step(
 
     def step(state: TrainState, arrays) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         db = canonicalize(*arrays)
-        hier = build_hierarchy(db.grid, cfg.num_down)
+        hier = build_hierarchy(
+            db.grid, cfg.num_down, use_bricks=cfg.use_bricks,
+            brick_size=cfg.brick_size, brick_capacity_factor=cfg.brick_factor,
+        )
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
@@ -260,7 +263,10 @@ def make_eval_forward(cfg: PanopticConfig, model: PointGroup3HeadsNet, with_clus
 
     def fwd(params, batch_stats, arrays):
         db = canonicalize(*arrays)
-        hier = build_hierarchy(db.grid, cfg.num_down)
+        hier = build_hierarchy(
+            db.grid, cfg.num_down, use_bricks=cfg.use_bricks,
+            brick_size=cfg.brick_size, brick_capacity_factor=cfg.brick_factor,
+        )
         variables = {"params": params, "batch_stats": batch_stats}
         out, _ = panoptic_forward(
             cfg, model, variables, db, hier, train=False,
@@ -271,12 +277,14 @@ def make_eval_forward(cfg: PanopticConfig, model: PointGroup3HeadsNet, with_clus
     return jax.jit(fwd)
 
 
-@partial(jax.jit, static_argnames=("num_down",))
-def prepare_example(arrays, num_down: int):
+@partial(jax.jit, static_argnames=("num_down", "brick_size", "brick_factor"))
+def prepare_example(arrays, num_down: int, brick_size: int = 2, brick_factor: float = 0.5):
     """Jitted canonicalize + hierarchy build for standalone (non-step) use -
     eager dispatch is too slow on remote-compile TPU backends."""
     db = canonicalize(*arrays)
-    hier = build_hierarchy(db.grid, num_down)
+    hier = build_hierarchy(
+        db.grid, num_down, brick_size=brick_size, brick_capacity_factor=brick_factor
+    )
     return db, hier
 
 

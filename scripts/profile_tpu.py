@@ -84,8 +84,11 @@ def main():
         def hier_step(feats):
             a = arrays[:3] + (feats,) + arrays[4:]
             db = canonicalize(*a)
-            hier = build_hierarchy(db.grid, cfg.num_down)
-            s = sum(jnp.sum(m) for m in hier.same_maps) + sum(
+            hier = build_hierarchy(
+                db.grid, cfg.num_down, use_bricks=cfg.use_bricks,
+                brick_size=cfg.brick_size, brick_capacity_factor=cfg.brick_factor,
+            )
+            s = sum(jnp.sum(b.nbr) for b in hier.bricks) + sum(
                 jnp.sum(m) for m in hier.down_maps
             ) + sum(jnp.sum(m) for m in hier.up_maps)
             return feats + 1e-30 * s.astype(jnp.float32), s.astype(jnp.float32)
@@ -98,7 +101,10 @@ def main():
         def fwd_step(feats):
             a = arrays[:3] + (feats,) + arrays[4:]
             db = canonicalize(*a)
-            hier = build_hierarchy(db.grid, cfg.num_down)
+            hier = build_hierarchy(
+                db.grid, cfg.num_down, use_bricks=cfg.use_bricks,
+                brick_size=cfg.brick_size, brick_capacity_factor=cfg.brick_factor,
+            )
             x, sem, off, emb = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
                 db.feats, hier, False, 0.1,
