@@ -213,6 +213,14 @@ class Trainer:
     def train(self, epochs: Optional[int] = None, batches_per_epoch: Optional[int] = None):
         epochs = epochs or self.tcfg.epochs
         nb = batches_per_epoch or self.steps_per_epoch
+        # debugging knobs (reference trainer.py:284-294: early_break stops
+        # after one batch; profiling caps the batch count)
+        dbg = self.cfg.get("debugging", {}) or {}
+        if dbg.get("early_break"):
+            nb = 1
+            epochs = min(epochs, self.start_epoch)
+        elif dbg.get("profiling"):
+            nb = min(nb, int(dbg.get("num_batches", 50)))
         for epoch in range(self.start_epoch, epochs + 1):
             t0 = time.time()
             # BN momentum step decay (reference bn_scheduler step_decay policy:
