@@ -1,6 +1,7 @@
-# Static checks + tests (the reference's Makefile runs flake8 + mypy)
+# Static checks + tests (the reference Makefile runs flake8 + mypy; this image
+# has neither - compileall catches syntax errors)
 staticchecks:
-	python -m flake8 --select=E9,F63,F72,F82 panopticsegforlargescalepointcloud_tpu/ tests/ || true
+	python -m compileall -q panopticsegforlargescalepointcloud_tpu tests
 
 test:
 	python -m pytest tests/ -q

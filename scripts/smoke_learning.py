@@ -112,7 +112,9 @@ def main():
 
     prep = make_train_step(cfg, model, tx, with_clustering=False)
     full = make_train_step(cfg, model, tx, with_clustering=True)
-    epochs, steps_per = 16, 10
+    import os
+    epochs = int(os.environ.get("SMOKE_EPOCHS", "16"))
+    steps_per = int(os.environ.get("SMOKE_STEPS", "10"))
     for epoch in range(1, epochs + 1):
         step = full if epoch > cfg.prepare_epoch else prep
         losses = []
