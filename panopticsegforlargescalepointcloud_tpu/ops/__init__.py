@@ -14,6 +14,7 @@ from .sparse import (  # noqa: F401
     same_level_map,
     downsample,
     down_map,
+    down_map_fine_side,
     up_map,
     up_map_from_down,
     KERNEL_OFFSETS_K3,

@@ -30,7 +30,7 @@ from .hashing import BitLayout, DEFAULT_BITS
 from .sparse import (
     KERNEL_OFFSETS_K3,
     SparseGrid,
-    down_map,
+    down_map_fine_side,
     downsample,
     same_level_map,
     up_map_from_down,
@@ -121,7 +121,7 @@ def build_hierarchy(
         overflows.append(dropped)
         grids.append(coarse)
         parents.append(parent)
-        dmap = down_map(fine, coarse, KERNEL_OFFSETS_K3, bits)
+        dmap = down_map_fine_side(fine, coarse, bits)
         down_maps.append(dmap)
         up_maps.append(up_map_from_down(dmap, fine.capacity))
         ctx, ov = bricks_for(coarse, capacities[level + 1])

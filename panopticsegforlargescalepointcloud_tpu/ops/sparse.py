@@ -256,6 +256,51 @@ def down_map(
     return lookup(fine.keys, q_keys).reshape(n, k)
 
 
+_DOWN_CHOICE = np.array(
+    [[(j >> 2) & 1, (j >> 1) & 1, j & 1] for j in range(8)], dtype=np.int32
+)
+
+
+def down_map_fine_side(
+    fine: SparseGrid,
+    coarse: SparseGrid,
+    bits: BitLayout = DEFAULT_BITS,
+) -> jnp.ndarray:
+    """Equivalent of :func:`down_map` built from the fine side: each fine
+    voxel f has at most 8 coarse receivers c with f = 2c + off, |off| <= 1
+    (per axis c in {floor((f-1)/2), floor((f+1)/2)}), so 8*N_fine lookups into
+    the (smaller) coarse table replace 27*N_coarse lookups into the fine one -
+    ~2.4x less lookup-sort volume. Results are scattered into [N_c, 27]
+    (collision-free: (c, off) determines f)."""
+    n = fine.capacity
+    nc = coarse.capacity
+    f = fine.coords
+    cand = jnp.stack(
+        [jnp.floor_divide(f - 1, 2), jnp.floor_divide(f + 1, 2)], axis=1
+    )  # [N, 2, 3]
+    choice = jnp.asarray(_DOWN_CHOICE)  # [8, 3]
+    c_comb = jnp.take_along_axis(
+        cand, jnp.broadcast_to(choice[None], (n, 8, 3)), axis=1
+    )  # [N, 8, 3]
+    off = f[:, None, :] - 2 * c_comb  # in {-1, 0, 1, +-2}
+    valid = jnp.all(jnp.abs(off) <= 1, axis=-1) & fine.mask[:, None]  # [N, 8]
+    k = ((off[..., 0] + 1) * 3 + (off[..., 1] + 1)) * 3 + (off[..., 2] + 1)
+    q_batch = jnp.broadcast_to(fine.batch[:, None], (n, 8))
+    q_keys = pack_coords(
+        q_batch.reshape(-1),
+        c_comb.reshape(-1, 3),
+        bits,
+        extra_invalid=jnp.logical_not(valid).reshape(-1),
+    )
+    c_row = lookup(coarse.keys, q_keys).reshape(n, 8)
+    rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, 8))
+    tgt = jnp.where(c_row >= 0, c_row * 27 + k, nc * 27)
+    dmap = jnp.full((nc * 27,), -1, jnp.int32).at[tgt.reshape(-1)].set(
+        rows.reshape(-1), mode="drop"
+    )
+    return dmap.reshape(nc, 27)
+
+
 def up_map_from_down(dmap: jnp.ndarray, n_fine: int) -> jnp.ndarray:
     """Derive the transpose-conv kernel map by transposing the down map
     (identical connectivity: fine f = 2c + off  <=>  up offset -off), saving

@@ -17,6 +17,7 @@ from panopticsegforlargescalepointcloud_tpu.ops import (
     SparseGrid,
     KERNEL_OFFSETS_K3,
     down_map,
+    down_map_fine_side,
     downsample,
     lookup,
     make_grid,
@@ -225,6 +226,9 @@ class TestConvParity:
         # the transpose derivation must agree exactly with the direct lookup
         umap2 = np.asarray(up_map_from_down(down_map(fine, coarse), fine.capacity))
         np.testing.assert_array_equal(umap, umap2)
+        # fine-side down-map construction must agree exactly as well
+        dmap2 = np.asarray(down_map_fine_side(fine, coarse))
+        np.testing.assert_array_equal(np.asarray(down_map(fine, coarse)), dmap2)
         ckeys = {
             (int(b), int(x), int(y), int(z)): i
             for i, (b, (x, y, z), m) in enumerate(zip(cb, cc, cm))
