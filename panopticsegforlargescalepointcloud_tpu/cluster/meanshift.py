@@ -23,6 +23,7 @@ merely merge two initial seeds, harmless for convergence).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple, Tuple
 
@@ -96,6 +97,11 @@ def _mean_shift_single(
     bw2 = bandwidth * bandwidth
     tol = 1e-3 * bandwidth
     seeds0, svalid = _bin_seeds(x, pvalid, bandwidth, max_seeds)
+    # Pallas streaming kernel for the flat-kernel update (avoids the [S, Np]
+    # HBM matrix); opt-in until profiled on the target slice.
+    use_pallas = os.environ.get("PST_PALLAS_MEANSHIFT") == "1"
+    if use_pallas:
+        from .pallas_meanshift import meanshift_update
 
     def cond(st):
         seeds, frozen, it = st
@@ -103,7 +109,13 @@ def _mean_shift_single(
 
     def body(st):
         seeds, frozen, it = st
-        new, cnt = _shift_iter(seeds, frozen, x, pvalid, bw2)
+        if use_pallas:
+            new, cnt = meanshift_update(
+                seeds, x, pvalid, bandwidth,
+                interpret=jax.default_backend() == "cpu",
+            )
+        else:
+            new, cnt = _shift_iter(seeds, frozen, x, pvalid, bw2)
         shift2 = jnp.sum((new - seeds) ** 2, axis=-1)
         newly_frozen = shift2 < tol * tol
         upd = jnp.where((~frozen & svalid)[:, None], new, seeds)

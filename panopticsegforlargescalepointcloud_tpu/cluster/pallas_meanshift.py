@@ -1,0 +1,120 @@
+"""Pallas TPU kernel for the mean-shift flat-kernel update.
+
+One mean-shift iteration computes, per seed s:
+    new_s = mean({x : |x - s|^2 <= bw^2})
+The XLA formulation materializes the [S, Np] distance matrix (and its mask)
+in HBM twice per iteration; for S=256, Np=16k that is ~16 MB x 2 x ~30
+iterations per sample of pure bandwidth. This kernel streams point tiles
+through VMEM and accumulates the masked sums on-chip: per (seed-tile,
+point-tile) grid cell it computes the distance block on the MXU
+(|s-x|^2 = s^2 + x^2 - 2 s.x), masks, and accumulates sum/count into VMEM
+scratch - the [S, Np] matrix never touches HBM.
+
+Used by cluster/meanshift.py when PST_PALLAS_MEANSHIFT=1 (the XLA path stays
+the default until the kernel is profiled faster end-to-end on the target
+slice); exact up to float accumulation order (tests/test_pallas_meanshift.py,
+interpret mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ms_kernel(seeds_ref, points_ref, pvalid_ref, bw2_ref, sum_ref, cnt_ref):
+    """Grid: (num_point_tiles,). Full seed block resident; one point tile per
+    step; accumulate masked sums into the outputs (same block each step)."""
+    t = pl.program_id(0)
+
+    seeds = seeds_ref[:]  # [S, E]
+    pts = points_ref[:]  # [TP, E]
+    pv = pvalid_ref[:]  # [TP, 1] float (1/0)
+    bw2 = bw2_ref[0, 0]
+
+    d2 = (
+        jnp.sum(seeds * seeds, axis=1, keepdims=True)
+        + jnp.sum(pts * pts, axis=1)[None, :]
+        - 2.0 * jnp.dot(seeds, pts.T, preferred_element_type=jnp.float32)
+    )  # [S, TP]
+    within = jnp.where((d2 <= bw2) & (pv[:, 0] > 0)[None, :], 1.0, 0.0)
+
+    part_sum = jnp.dot(within, pts, preferred_element_type=jnp.float32)  # [S, E]
+    part_cnt = jnp.sum(within, axis=1, keepdims=True)  # [S, 1]
+
+    @pl.when(t == 0)
+    def _():
+        sum_ref[:] = part_sum
+        cnt_ref[:] = part_cnt
+
+    @pl.when(t > 0)
+    def _():
+        sum_ref[:] = sum_ref[:] + part_sum
+        cnt_ref[:] = cnt_ref[:] + part_cnt
+
+
+@functools.partial(jax.jit, static_argnames=("point_tile", "interpret"))
+def meanshift_update(
+    seeds: jnp.ndarray,
+    points: jnp.ndarray,
+    pvalid: jnp.ndarray,
+    bandwidth: float | jnp.ndarray,
+    point_tile: int = 2048,
+    interpret: bool = False,
+):
+    """One flat-kernel update for all seeds.
+
+    Args:
+      seeds: [S, E] float32 (S ideally a multiple of 8).
+      points: [Np, E] float32.
+      pvalid: [Np] bool.
+      bandwidth: scalar.
+    Returns:
+      (new_seeds [S, E] - unchanged where no point in range, counts [S]).
+    """
+    s, e = seeds.shape
+    np_ = points.shape[0]
+    tp = min(point_tile, np_)
+    # pad points to a tile multiple
+    pad = (-np_) % tp
+    if pad:
+        points = jnp.pad(points, ((0, pad), (0, 0)))
+        pvalid = jnp.pad(pvalid, (0, pad))
+    np_p = points.shape[0]
+    grid = (np_p // tp,)
+
+    bw2 = jnp.asarray(
+        jnp.square(jnp.asarray(bandwidth, jnp.float32)), jnp.float32
+    ).reshape(1, 1)
+
+    sums, cnts = pl.pallas_call(
+        _ms_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((s, e), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, e), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tp, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((s, e), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((s, e), jnp.float32),
+            jax.ShapeDtypeStruct((s, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        seeds.astype(jnp.float32),
+        points.astype(jnp.float32),
+        pvalid.astype(jnp.float32)[:, None],
+        bw2,
+    )
+    cnt = cnts[:, 0]
+    new = jnp.where((cnt > 0)[:, None], sums / jnp.maximum(cnt, 1.0)[:, None], seeds)
+    return new, cnt
