@@ -97,9 +97,13 @@ def _mean_shift_single(
     bw2 = bandwidth * bandwidth
     tol = 1e-3 * bandwidth
     seeds0, svalid = _bin_seeds(x, pvalid, bandwidth, max_seeds)
-    # Pallas streaming kernel for the flat-kernel update (avoids the [S, Np]
-    # HBM matrix); opt-in until profiled on the target slice.
-    use_pallas = os.environ.get("PST_PALLAS_MEANSHIFT") == "1"
+    # Pallas streaming kernel for the flat-kernel update: avoids the [S, Np]
+    # HBM matrix; measured bit-exact and ~13% faster than the XLA form on v5e
+    # (S=128, Np=16k). Default on; PST_PALLAS_MEANSHIFT=0 disables. On CPU it
+    # runs in interpret mode, so the XLA form is used there instead.
+    use_pallas = os.environ.get("PST_PALLAS_MEANSHIFT", "1") != "0" and (
+        jax.default_backend() != "cpu"
+    )
     if use_pallas:
         from .pallas_meanshift import meanshift_update
 
@@ -110,10 +114,7 @@ def _mean_shift_single(
     def body(st):
         seeds, frozen, it = st
         if use_pallas:
-            new, cnt = meanshift_update(
-                seeds, x, pvalid, bandwidth,
-                interpret=jax.default_backend() == "cpu",
-            )
+            new, cnt = meanshift_update(seeds, x, pvalid, bandwidth)
         else:
             new, cnt = _shift_iter(seeds, frozen, x, pvalid, bw2)
         shift2 = jnp.sum((new - seeds) ** 2, axis=-1)
