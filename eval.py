@@ -81,16 +81,22 @@ def main():
 
     capacity = int(run_cfg["data"].get("voxel_capacity", 65536))
     evaluator = FullSceneEvaluator(pcfg, model, params, stats, dataset, capacity)
+    out_dir = str(cfg.get("out_dir", "eval_outputs"))
+    # manifest: eval index -> source file, so evaluation_stats_FOR.py can
+    # group plots by forest region (reference groups by filename region tags)
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "eval_manifest.json"), "w") as f:
+        json.dump({str(i): os.path.basename(p) for i, p in enumerate(files)}, f)
     reports = evaluator.run(
-        out_dir=str(cfg.get("out_dir", "eval_outputs")),
+        out_dir=out_dir,
         ply_output=bool(cfg.get("tracker_options", {}).get("make_submission", True)),
         # the reference hard-codes the 0.1 IoU adoption threshold
         # (panoptic_tracker_pointgroup_treeins.py:474); None selects it
         th_merge=None,
         voting_runs=int(cfg.get("voting_runs", 1)),
     )
-    import json
-
     print(json.dumps(reports, indent=2))
 
 

@@ -10,10 +10,11 @@ point-tile) grid cell it computes the distance block on the MXU
 (|s-x|^2 = s^2 + x^2 - 2 s.x), masks, and accumulates sum/count into VMEM
 scratch - the [S, Np] matrix never touches HBM.
 
-Used by cluster/meanshift.py when PST_PALLAS_MEANSHIFT=1 (the XLA path stays
-the default until the kernel is profiled faster end-to-end on the target
-slice); exact up to float accumulation order (tests/test_pallas_meanshift.py,
-interpret mode on CPU).
+Default ON for any non-CPU backend (measured 0.193 vs 0.222 ms/iter on v5e,
+bit-exact vs the XLA form); opt out with PST_PALLAS_MEANSHIFT=0, force on
+(interpret mode) on CPU with PST_PALLAS_MEANSHIFT=1 - see the gate in
+cluster/meanshift.py:mean_shift. Exact up to float accumulation order
+(tests/test_pallas_meanshift.py, interpret mode on CPU).
 """
 
 from __future__ import annotations

@@ -35,7 +35,12 @@ class TrainingConfig:
     samples_per_epoch: int = 3000
     lr: float = 1e-3
     lr_gamma: float = 0.9885  # per-epoch exponential decay
-    scheduler: str = "exponential"
+    scheduler: str = "ExponentialLR"
+    scheduler_params: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    optimizer: str = "Adam"
+    weight_decay: float = 0.0
+    grad_accum: int = 1  # optax.MultiSteps mini-batches per optimizer step
+    use_class_weights: bool = False  # sqrt-inv-freq weighted semantic NLL
     grad_clip: float | None = None
     eval_frequency: int = 1
     bn_momentum: float = 0.1
@@ -44,6 +49,9 @@ class TrainingConfig:
     bn_clip: float = 0.01
     checkpoint_dir: str = ""
     seed: int = 2022
+    # data-parallel device count: 1 = single device, 0 = all local devices;
+    # batch_size is PER DEVICE (global batch = batch_size * num_devices)
+    num_devices: int = 1
 
 
 def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
@@ -56,6 +64,11 @@ def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
         lr=float(t.get("optim", {}).get("base_lr", t.get("lr", 1e-3))),
         lr_gamma=float(lr_s.get("params", {}).get("gamma", 0.9885)),
         scheduler=str(lr_s.get("class", "ExponentialLR")),
+        scheduler_params=dict(lr_s.get("params", {}) or {}),
+        optimizer=str(t.get("optim", {}).get("class", "Adam")),
+        weight_decay=float(t.get("optim", {}).get("weight_decay", 0.0)),
+        grad_accum=int(t.get("grad_accum", 1)),
+        use_class_weights=bool(t.get("use_class_weights", False)),
         grad_clip=t.get("grad_clip", None),
         eval_frequency=int(t.get("eval_frequency", 1)),
         bn_momentum=float(
@@ -72,6 +85,7 @@ def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
         ),
         seed=int(t.get("seed", 2022)),
         checkpoint_dir=str(t.get("checkpoint_dir", "")),
+        num_devices=int(t.get("num_devices", 1)),
     )
 
 
@@ -95,12 +109,17 @@ def panoptic_config_from_yaml(
     lw = m.get("loss_weights", {})
     grid = float(cfg.get("data", {}).get("grid_size", 0.2))
 
+    klass = str(m.get("class", "PointGroup3Heads"))
+    family = str(
+        m.get("model_family", "embed" if "embed" in klass.lower() else "3heads")
+    )
     kwargs = dict(
         num_classes=spec.num_classes,
         stuff_classes=spec.stuff_classes,
         feat_dim=4,
         in_feat=int(m.get("feat_size", 16)),
         embed_dim=int(m.get("embed_dim", 5)),
+        model_family=family,
         cluster_type=int(m.get("cluster_type", 5)),
         bandwidth=float(m.get("bandwidth", 0.6)),
         cluster_radius=float(m.get("cluster_radius_search", 1.5 * grid)),
@@ -127,5 +146,7 @@ def panoptic_config_from_yaml(
         num_samples=tr.batch_size,
         backbone=backbone,
     )
+    if m.get("scorer_bits"):
+        kwargs["scorer_bits"] = tuple(int(b) for b in m["scorer_bits"])
     kwargs.update(budget_overrides)
     return PanopticConfig(**kwargs), spec, tr

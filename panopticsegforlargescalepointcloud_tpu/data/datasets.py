@@ -231,8 +231,19 @@ class PanopticFileDataset:
         return out
 
     # ------------------------- test tiling -------------------------
-    def test_tiles(self, file_idx: int, rng: Optional[np.random.Generator] = None):
-        """PCA-aligned grid tiling; yields (tile dict, tile_sub_origin_ids)."""
+    def test_tiles(
+        self,
+        file_idx: int,
+        rng: Optional[np.random.Generator] = None,
+        grid_shift: float = 0.0,
+    ):
+        """PCA-aligned grid tiling; yields (tile dict, tile_sub_origin_ids).
+
+        ``grid_shift`` (in [0, 1), fraction of the tile step) offsets the grid
+        origin - voting runs use different shifts so overlapping re-tilings
+        produce genuinely different predictions to vote over (the reference's
+        voting interacts with its random transforms; our test transforms are
+        deterministic, so the grid offset supplies the variation)."""
         rng = rng or np.random.default_rng(0)
         c = self.clouds[file_idx]
         xy = c["pos"][:, :2].astype(np.float64)
@@ -243,9 +254,10 @@ class PanopticFileDataset:
         reduced = (xy - mean) @ comps.T
         mins, maxs = reduced.min(0), reduced.max(0)
         step = self.radius
+        off = (grid_shift % 1.0) * step
         tiles = []
-        for cx in np.arange(mins[0], maxs[0] + step, step):
-            for cy in np.arange(mins[1], maxs[1] + step, step):
+        for cx in np.arange(mins[0] - off, maxs[0] + step, step):
+            for cy in np.arange(mins[1] - off, maxs[1] + step, step):
                 centre = np.array([cx, cy]) @ comps + mean
                 tile = self._cylinder(file_idx, centre)
                 if len(tile["pos"]) == 0:

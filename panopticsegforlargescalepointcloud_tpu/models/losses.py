@@ -25,17 +25,27 @@ IGNORE_LABEL = -1
 
 
 def semantic_nll_loss(
-    log_probs: jnp.ndarray, labels: jnp.ndarray, valid: jnp.ndarray
+    log_probs: jnp.ndarray,
+    labels: jnp.ndarray,
+    valid: jnp.ndarray,
+    class_weights: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Mean NLL over valid rows with label != IGNORE_LABEL.
 
     ``log_probs`` are log-softmax outputs (the reference's Semantic head ends
-    in LogSoftmax and uses ``nll_loss`` with ignore_index=-1)."""
+    in LogSoftmax and uses ``nll_loss`` with ignore_index=-1). With
+    ``class_weights`` ([C], the dataset's sqrt-inv-frequency weights, see
+    base_dataset.py:531-561) it matches torch's weighted nll_loss:
+    sum(w[y]*nll) / sum(w[y])."""
     ok = valid & (labels != IGNORE_LABEL)
     safe = jnp.maximum(labels, 0)
     nll = -jnp.take_along_axis(
         log_probs.astype(jnp.float32), safe[:, None], axis=-1
     )[:, 0]
+    if class_weights is not None:
+        w = jnp.take(class_weights.astype(jnp.float32), safe)
+        w = jnp.where(ok, w, 0.0)
+        return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)
     nll = jnp.where(ok, nll, 0.0)
     return jnp.sum(nll) / jnp.maximum(jnp.sum(ok.astype(jnp.float32)), 1.0)
 
@@ -248,11 +258,16 @@ def mask_loss(
     mask_scores_sigmoid: jnp.ndarray,
     instance_labels: jnp.ndarray,
     max_instances: int,
+    member_scored: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Per-point mask BCE against the best-matching GT instance
     (reference mask_loss :156-201): members of proposals whose max IoU > 0.5
     get label 1 if the point belongs to the argmax GT instance else 0; other
-    proposals contribute nothing (weight 0)."""
+    proposals contribute nothing (weight 0).
+
+    ``member_scored`` ([M] bool) excludes members with no scorer-grid row
+    (bit-budget overflow) - their gathered logit belongs to another proposal.
+    """
     max_iou = jnp.max(ious, axis=1)
     arg = jnp.argmax(ious, axis=1)
     best_label = (arg % max_instances) + 1  # compact per-sample id
@@ -260,6 +275,8 @@ def mask_loss(
 
     pid = jnp.maximum(proposals.prop_id, 0)
     member_ok = proposals.member_valid & (proposals.prop_id >= 0)
+    if member_scored is not None:
+        member_ok = member_ok & member_scored
     sup_m = jnp.take(supervised, pid) & member_ok
     tgt = (
         jnp.take(instance_labels, jnp.maximum(proposals.point_idx, 0))

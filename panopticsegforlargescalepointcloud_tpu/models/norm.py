@@ -58,8 +58,13 @@ class MaskedBatchNorm(nn.Module):
             var = jnp.maximum(sxx / cnt - mean * mean, 0.0)
             if not self.is_initializing():
                 mom = jnp.asarray(momentum, jnp.float32)
+                # torch BatchNorm stores the UNBIASED (n/(n-1)) variance in
+                # running_var while normalizing with the biased one; match
+                # that so imported reference checkpoints and our own
+                # eval-mode stats agree (ADVICE r1 low).
+                unbiased = var * (cnt / jnp.maximum(cnt - 1.0, 1.0))
                 ra_mean.value = (1.0 - mom) * ra_mean.value + mom * mean
-                ra_var.value = (1.0 - mom) * ra_var.value + mom * var
+                ra_var.value = (1.0 - mom) * ra_var.value + mom * unbiased
         else:
             mean, var = ra_mean.value, ra_var.value
 

@@ -33,6 +33,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..cluster.hdbscan import hdbscan_labels
 from ..cluster.meanshift import mean_shift, pack_by_sample
 from ..cluster.region_grow import region_grow
 from ..ops.hashing import BitLayout
@@ -57,7 +58,43 @@ from .plans import (
 )
 from .unet import SparseEncoder, SparseUNet
 
-SCORER_BITS = BitLayout(8, 8, 6)  # batch field = proposal id (10 bits -> 1023)
+# PointGroupEmbed strategy table (Setting I family; reference
+# pointgroupembed.py:219-790, exact op/space/loop parameters extracted from
+# each _clusterN): every op is (method, space, loops, low, high).
+# loops == 0 -> one clustering run on the full feature set; loops == L -> L
+# runs, each on a random dim-subset of size in [low, high] of the space
+# (reference hdbscan_cluster.cluster_loop / meanshift_cluster.cluster_loop;
+# subset selection here is deterministic per run index - fixed-shape jit has
+# no per-forward RNG, and the reference resamples purely for proposal
+# diversity, which fixed distinct subsets provide equally).
+# Spaces: "xyz" = raw positions, "embed" = embedding head output,
+# "both" = concat(xyz, embed); "rg" ops region-grow on raw positions.
+EMBED_STRATEGIES = {
+    1: (("hdbscan", "xyz", 0, 0, 0), ("hdbscan", "embed", 0, 0, 0)),
+    2: (("hdbscan", "both", 9, 3, 5), ("hdbscan", "embed", 0, 0, 0)),
+    3: (("hdbscan", "both", 9, 3, 5), ("hdbscan", "xyz", 0, 0, 0)),
+    4: (("hdbscan", "both", 8, 3, 5), ("hdbscan", "embed", 0, 0, 0),
+        ("hdbscan", "xyz", 0, 0, 0)),
+    5: (("hdbscan", "both", 10, 3, 5),),
+    6: (("hdbscan", "embed", 6, 2, 5),),
+    7: (("meanshift", "embed", 0, 0, 0),),
+    8: (("rg", "pos", 0, 0, 0), ("meanshift", "embed", 0, 0, 0)),
+    9: (("rg", "pos", 0, 0, 0), ("meanshift", "embed", 10, 3, 5)),
+    10: (("meanshift", "embed", 6, 2, 5),),
+    11: (("hdbscan", "embed", 6, 2, 5),),
+    12: (("rg", "pos", 0, 0, 0), ("meanshift", "embed", 6, 2, 5)),
+    13: (("hdbscan", "embed", 6, 2, 5), ("hdbscan", "xyz", 0, 0, 0)),
+    14: (("hdbscan", "embed", 0, 0, 0),),
+    15: (("meanshift", "embed", 6, 2, 5), ("hdbscan", "embed", 0, 0, 0)),
+    16: (("hdbscan", "embed", 6, 2, 5), ("meanshift", "embed", 0, 0, 0)),
+}
+
+# Default scorer-grid bit layout: batch field = proposal id (32-7-7-9 = 9 bits
+# -> 510 proposals), coords are per-proposal *centered* offsets so the signed
+# budget is +-64 voxels laterally and +-256 vertically (51 m at 0.2 m voxels -
+# FOR-instance trees are 20-30 m tall, see VERDICT r1 #3). Overridable per
+# model config via PanopticConfig.scorer_bits.
+SCORER_BITS = BitLayout(7, 7, 9)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -69,6 +106,9 @@ class PanopticConfig:
     feat_dim: int = 4
     in_feat: int = 16
     embed_dim: int = 5
+    # "3heads" (PointGroup3Heads, Settings II-V) or "embed" (PointGroupEmbed,
+    # Setting I: no offset head, cluster strategies from EMBED_STRATEGIES)
+    model_family: str = "3heads"
     cluster_type: int = 5
     bandwidth: float = 0.6
     cluster_radius: float = 0.3  # 1.5 * grid_size
@@ -100,6 +140,15 @@ class PanopticConfig:
     rg_k_neighbors: int = 32
     rg_cell_cap: int = 16
     min_cluster_size: int = 10
+    # HDBSCAN-style density grouping (embed family; reference hyperparams
+    # hdbscan_cluster.py:9)
+    hd_min_samples: int = 5
+    hd_min_cluster_size: int = 15
+    hd_epsilon: float = 0.006
+    hd_max_clusters: int = 32  # per sample, single (non-loop) runs
+    hd_point_cap: int = 2048  # thing points per sample fed to hdbscan
+    loop_max_clusters: int = 8  # per sample per random-subset run
+    embed_subset_seed: int = 0  # deterministic dim-subset selection
     # eval-time instance extraction (structure_3heads.py:28)
     nms_threshold: float = 0.3
     min_cluster_points: int = 100
@@ -110,18 +159,48 @@ class PanopticConfig:
     use_bricks: bool = False  # brick-dense submanifold convs (see PLAN.md)
     brick_size: int = 2  # submanifold-conv brick edge (ops/brick.py)
     brick_factor: float = 0.5  # brick capacity per level voxel capacity
+    # ScoreNet grid key layout (x, y, z bits); proposal id lives in the
+    # remaining 32-(bx+by+bz) bits, so total_props must stay below
+    # 2^(32-bx-by-bz) - 1.
+    scorer_bits: Tuple[int, int, int] = (7, 7, 9)
+
+    def __post_init__(self):
+        layout = BitLayout(*self.scorer_bits)
+        if self.total_props >= layout.max_batch:
+            raise ValueError(
+                f"scorer_bits {self.scorer_bits} leave only "
+                f"{layout.max_batch - 1} proposal ids but the cluster budget "
+                f"needs {self.total_props}; widen the proposal-id field "
+                f"(fewer coord bits) or shrink max_props_rg/ms budgets"
+            )
+
+    @property
+    def scorer_layout(self) -> BitLayout:
+        return BitLayout(*self.scorer_bits)
 
     @property
     def num_down(self) -> int:
         return 6 if self.backbone == "paper" else 2
 
     @property
+    def has_offset(self) -> bool:
+        return self.model_family != "embed"
+
+    @property
+    def embed_ops(self) -> Tuple[Tuple, ...]:
+        return EMBED_STRATEGIES[self.cluster_type]
+
+    @property
     def num_sources(self) -> int:
+        if self.model_family == "embed":
+            return len(self.embed_ops)
         return {1: 1, 2: 2, 3: 1, 4: 2, 5: 2, 6: 3}[self.cluster_type]
 
     @property
     def rg_sources(self) -> Tuple[str, ...]:
         """Which geometric inputs feed region growing, in tag order."""
+        if self.model_family == "embed":
+            return tuple(op[1] for op in self.embed_ops if op[0] == "rg")
         return {
             1: ("vote",),
             2: ("pos", "vote"),
@@ -133,10 +212,23 @@ class PanopticConfig:
 
     @property
     def use_meanshift(self) -> bool:
+        if self.model_family == "embed":
+            return any(op[0] == "meanshift" for op in self.embed_ops)
         return self.cluster_type in (3, 4, 5, 6)
+
+    def _op_budget(self, op) -> int:
+        method, _, loops, _, _ = op
+        if method == "rg":
+            return self.max_props_rg
+        if loops == 0:
+            per = self.hd_max_clusters if method == "hdbscan" else self.ms_max_clusters
+            return self.num_samples * per
+        return loops * self.num_samples * self.loop_max_clusters
 
     @property
     def total_props(self) -> int:
+        if self.model_family == "embed":
+            return sum(self._op_budget(op) for op in self.embed_ops)
         p = len(self.rg_sources) * self.max_props_rg
         if self.use_meanshift:
             p += self.num_samples * self.ms_max_clusters
@@ -151,6 +243,8 @@ class PanopticOutput(NamedTuple):
     proposals: Optional[Proposals]
     cluster_scores: Optional[jnp.ndarray]  # [P]
     mask_scores: Optional[jnp.ndarray]  # [M] raw logits per membership row
+    mask_row_valid: Optional[jnp.ndarray] = None  # [M] member has a scorer row
+    scorer_overflow: Optional[jnp.ndarray] = None  # members outside bit budget
 
 
 class PointGroup3HeadsNet(nn.Module):
@@ -174,8 +268,11 @@ class PointGroup3HeadsNet(nn.Module):
         f = self.cfg.in_feat
         self.semantic_mlp = PointMLP((f,), use_bias=False)
         self.semantic_out = nn.Dense(self.cfg.num_classes)
-        self.offset_mlp = PointMLP((f,), use_bias=False)
-        self.offset_out = nn.Dense(3)
+        if self.cfg.has_offset:
+            # the embed family (reference PointGroupEmbed :69-81) has no
+            # offset head: semantic + embedding only
+            self.offset_mlp = PointMLP((f,), use_bias=False)
+            self.offset_out = nn.Dense(3)
         self.embed_mlp = PointMLP((f,), use_bias=False)
         self.embed_out = nn.Dense(self.cfg.embed_dim)
         if self.cfg.scorer_type == "encoder":
@@ -201,7 +298,10 @@ class PointGroup3HeadsNet(nn.Module):
         x = self.backbone(feats, hier, train, momentum)
         sem = self.semantic_out(self.semantic_mlp(x, mask, train, momentum))
         sem = jax.nn.log_softmax(sem, axis=-1)
-        off = self.offset_out(self.offset_mlp(x, mask, train, momentum))
+        if self.cfg.has_offset:
+            off = self.offset_out(self.offset_mlp(x, mask, train, momentum))
+        else:
+            off = jnp.zeros((x.shape[0], 3), x.dtype)
         emb = self.embed_out(self.embed_mlp(x, mask, train, momentum))
         m = mask[:, None]
         return x, sem, jnp.where(m, off, 0.0), jnp.where(m, emb, 0.0)
@@ -254,6 +354,149 @@ class PointGroup3HeadsNet(nn.Module):
         return sem, off, emb, scores
 
 
+def _subset_masks(cfg: PanopticConfig, space: str, loops: int, low: int, high: int):
+    """Static 0/1 dim masks for one strategy op ([runs, 3+E] numpy).
+
+    Zeroing unselected dims makes every distance equal the subspace distance,
+    so "cluster on a random feature subset" becomes a fixed-shape multiply
+    (reference picks dims via torch.multinomial per forward,
+    hdbscan_cluster.py:28-34; here subsets are deterministic per run index)."""
+    import numpy as np
+
+    d = 3 + cfg.embed_dim
+    pool = {
+        "xyz": np.arange(3),
+        "embed": np.arange(3, d),
+        "both": np.arange(d),
+    }[space]
+    if loops == 0:
+        m = np.zeros((1, d), np.float32)
+        m[0, pool] = 1.0
+        return m
+    rng = np.random.default_rng(cfg.embed_subset_seed)
+    masks = np.zeros((loops, d), np.float32)
+    for i in range(loops):
+        k = int(rng.integers(low, high + 1))
+        k = min(k, len(pool))
+        masks[i, rng.choice(pool, size=k, replace=False)] = 1.0
+    return masks
+
+
+def _embed_proposals(
+    cfg: PanopticConfig,
+    pos: jnp.ndarray,
+    embeds: jnp.ndarray,
+    pred: jnp.ndarray,
+    batch: jnp.ndarray,
+    thing: jnp.ndarray,
+) -> Proposals:
+    """PointGroupEmbed cluster strategies (EMBED_STRATEGIES table): density
+    grouping / mean-shift over xyz / embeddings / random feature subsets,
+    plus optional region-growing (reference pointgroupembed.py:219-790)."""
+    n = pos.shape[0]
+    feats_all = jnp.concatenate(
+        [pos.astype(jnp.float32), embeds.astype(jnp.float32)], axis=1
+    )
+    packs = {}
+
+    def get_pack(cap):
+        if cap not in packs:
+            packs[cap] = pack_by_sample(
+                feats_all, batch, thing, cfg.num_samples, cap
+            )
+        return packs[cap]
+
+    point_blocks, prop_valid_parts, prop_batch_parts, prop_type_parts = [], [], [], []
+    id_offset = 0
+    tag = 0
+    sample_ids = jnp.arange(cfg.num_samples, dtype=jnp.int32)[:, None]
+
+    for method, space, loops, low, high in cfg.embed_ops:
+        if method == "rg":
+            rg = region_grow(
+                pos, pred, batch, thing,
+                radius=cfg.cluster_radius,
+                max_proposals=cfg.max_props_rg,
+                min_cluster_size=cfg.min_cluster_size,
+                k_neighbors=cfg.rg_k_neighbors,
+                cell_cap=cfg.rg_cell_cap,
+            )
+            pid = jnp.where(rg.point_prop >= 0, rg.point_prop + id_offset, -1)
+            point_blocks.append(pid)
+            prop_valid_parts.append(rg.prop_valid)
+            prop_batch_parts.append(rg.prop_batch)
+            prop_type_parts.append(jnp.full((cfg.max_props_rg,), tag, jnp.int32))
+            id_offset += cfg.max_props_rg
+            tag += 1
+            continue
+
+        cap = cfg.hd_point_cap if method == "hdbscan" else cfg.ms_point_cap
+        dense, dvalid, src_row = get_pack(cap)
+        counts = jnp.sum(dvalid.astype(jnp.int32), axis=1)
+        # reference skips samples with too few thing points (cluster_loop's
+        # sum(batch_mask) > 5 / cluster_single's > 3)
+        run_valid = dvalid & (counts > (5 if loops > 0 else 3))[:, None]
+        percap = (
+            cfg.loop_max_clusters
+            if loops > 0
+            else (cfg.hd_max_clusters if method == "hdbscan" else cfg.ms_max_clusters)
+        )
+        masks = _subset_masks(cfg, space, loops, low, high)
+        for li in range(masks.shape[0]):
+            masked = dense * jnp.asarray(masks[li])[None, None, :]
+            if method == "hdbscan":
+                res = hdbscan_labels(
+                    masked, run_valid,
+                    min_samples=cfg.hd_min_samples,
+                    min_cluster_size=cfg.hd_min_cluster_size,
+                    epsilon=cfg.hd_epsilon,
+                    max_clusters=percap,
+                )
+                lab, ncl = res.labels, res.num_clusters
+            else:
+                ms = mean_shift(
+                    masked, run_valid, bandwidth=cfg.bandwidth,
+                    max_seeds=cfg.ms_max_seeds,
+                )
+                lab = jnp.where(
+                    (ms.labels >= 0) & (ms.labels < percap), ms.labels, -1
+                )
+                ncl = jnp.minimum(ms.num_clusters, percap)
+            dense_pid = jnp.where(
+                lab >= 0, id_offset + sample_ids * percap + lab, -1
+            )
+            flat_pid = jnp.full((n + 1,), -1, jnp.int32)
+            tgt = jnp.where(src_row >= 0, src_row, n)
+            flat_pid = flat_pid.at[tgt.reshape(-1)].set(
+                dense_pid.reshape(-1), mode="drop"
+            )
+            point_blocks.append(flat_pid[:n])
+            cl_ids = jnp.arange(percap, dtype=jnp.int32)
+            pv = (cl_ids[None, :] < ncl[:, None]).reshape(-1)
+            pb = jnp.broadcast_to(
+                sample_ids, (cfg.num_samples, percap)
+            ).reshape(-1)
+            prop_valid_parts.append(pv)
+            prop_batch_parts.append(jnp.where(pv, pb, -1))
+            prop_type_parts.append(
+                jnp.full((cfg.num_samples * percap,), tag, jnp.int32)
+            )
+            id_offset += cfg.num_samples * percap
+            tag += 1
+
+    point_idx = jnp.tile(jnp.arange(n, dtype=jnp.int32), len(point_blocks))
+    prop_id = jnp.concatenate(point_blocks)
+    member_valid = prop_id >= 0
+    return Proposals(
+        point_idx=jnp.where(member_valid, point_idx, -1),
+        prop_id=prop_id,
+        member_valid=member_valid,
+        prop_valid=jnp.concatenate(prop_valid_parts),
+        prop_batch=jnp.concatenate(prop_batch_parts),
+        prop_type=jnp.concatenate(prop_type_parts),
+    )
+
+
 def build_proposals(
     cfg: PanopticConfig,
     pos: jnp.ndarray,
@@ -274,6 +517,8 @@ def build_proposals(
     for c in cfg.stuff_classes:
         is_stuff = is_stuff | (pred == c)
     thing = valid & ~is_stuff
+    if cfg.model_family == "embed":
+        return _embed_proposals(cfg, pos, embeds, pred, batch, thing)
 
     point_blocks = []
     prop_valid_parts = []
@@ -362,34 +607,45 @@ def scorer_inputs(
     absolute input coords per cluster, :399-407; re-centering is equivalent
     for the translation-invariant scorer and keeps packed keys in range).
 
-    Returns (scorer_grid, scorer_hier, scorer_feats, row_of_member [M]).
+    Coordinates are centered on each proposal's bbox midpoint so the signed
+    bit budget (cfg.scorer_bits) covers the full extent; members that still
+    fall outside it are dropped from the grid (INVALID_KEY) and counted in
+    ``overflow`` - train metrics expose it and tests assert it is 0 for
+    realistic proposals (VERDICT r1 #3).
+
+    Returns (scorer_grid, scorer_hier, scorer_feats, row_of_member [M],
+    overflow scalar int32).
     """
+    bits = cfg.scorer_layout
     m = props.budget
     ok = props.member_valid & (props.prop_id >= 0)
     pt = jnp.maximum(props.point_idx, 0)
+    seg = jnp.where(ok, props.prop_id, -1)
     c = jnp.take(coords, pt, axis=0)
+    big = jnp.iinfo(jnp.int32).max
     cmin = segment_min(
-        jnp.where(ok[:, None], c, jnp.iinfo(jnp.int32).max),
-        jnp.where(ok, props.prop_id, -1),
-        cfg.total_props,
-        fill=0,
+        jnp.where(ok[:, None], c, big), seg, cfg.total_props, fill=0
     )
-    rel = c - jnp.take(cmin, jnp.maximum(props.prop_id, 0), axis=0)
-    rel = jnp.clip(rel, 0, 255)
-    grid, inverse = make_grid(
-        jnp.where(ok, props.prop_id, -1),
-        rel,
-        ok,
-        bits=SCORER_BITS,
+    cmax = segment_max(
+        jnp.where(ok[:, None], c, -big), seg, cfg.total_props, fill=0
     )
+    center = (cmin + cmax) >> 1
+    rel = c - jnp.take(center, jnp.maximum(props.prop_id, 0), axis=0)
+    half = jnp.array(
+        [1 << (bits.bx - 1), 1 << (bits.by - 1), 1 << (bits.bz - 1)],
+        jnp.int32,
+    )
+    in_budget = jnp.all((rel >= -half) & (rel < half), axis=-1)
+    overflow = jnp.sum((ok & ~in_budget).astype(jnp.int32))
+    grid, inverse = make_grid(seg, rel, ok, bits=bits)
     feats = jnp.take(backbone_feats, pt, axis=0)
     sf = jnp.zeros((m, backbone_feats.shape[1]), backbone_feats.dtype)
-    sf = sf.at[jnp.where(ok, inverse, m)].set(feats, mode="drop")
+    sf = sf.at[jnp.where(ok & (inverse >= 0), inverse, m)].set(feats, mode="drop")
     hier = build_hierarchy(
-        grid, num_down=2, bits=SCORER_BITS, use_bricks=cfg.use_bricks,
+        grid, num_down=2, bits=bits, use_bricks=cfg.use_bricks,
         brick_size=cfg.brick_size, brick_capacity_factor=cfg.brick_factor,
     )
-    return grid, hier, sf, inverse
+    return grid, hier, sf, inverse, overflow
 
 
 def panoptic_losses(
@@ -401,16 +657,20 @@ def panoptic_losses(
     instance_mask: jnp.ndarray,
     batch: jnp.ndarray,
     valid: jnp.ndarray,
+    class_weights: jnp.ndarray | None = None,
 ):
     """Assemble the total loss (reference _compute_loss :552-634)."""
     losses = {}
-    losses["semantic_loss"] = semantic_nll_loss(out.semantic_logits, labels_y, valid)
+    losses["semantic_loss"] = semantic_nll_loss(
+        out.semantic_logits, labels_y, valid, class_weights
+    )
     total = cfg.w_semantic * losses["semantic_loss"]
 
-    off = offset_loss(out.offset_logits, vote_label, instance_mask & valid)
-    losses.update(off)
-    total = total + cfg.w_offset_norm * off["offset_norm_loss"]
-    total = total + cfg.w_offset_dir * off["offset_dir_loss"]
+    if cfg.has_offset:
+        off = offset_loss(out.offset_logits, vote_label, instance_mask & valid)
+        losses.update(off)
+        total = total + cfg.w_offset_norm * off["offset_norm_loss"]
+        total = total + cfg.w_offset_dir * off["offset_dir_loss"]
 
     disc = discriminative_loss(
         out.embed_logits,
@@ -442,7 +702,10 @@ def panoptic_losses(
                 jax.nn.sigmoid(out.mask_scores),
                 instance_labels,
                 cfg.max_instances,
+                member_scored=out.mask_row_valid,
             )
             total = total + cfg.w_mask * losses["mask_loss"]
+    if out.scorer_overflow is not None:
+        losses["scorer_overflow"] = out.scorer_overflow.astype(jnp.float32)
     losses["loss"] = total
     return total, losses

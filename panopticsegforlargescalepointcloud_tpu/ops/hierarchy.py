@@ -30,9 +30,12 @@ from .hashing import BitLayout, DEFAULT_BITS
 from .sparse import (
     KERNEL_OFFSETS_K3,
     SparseGrid,
+    derive_down_map,
+    derive_same_map,
     down_map_fine_side,
     downsample,
     same_level_map,
+    slot_table_from_parent,
     up_map_from_down,
 )
 
@@ -86,33 +89,36 @@ def build_hierarchy(
     brick_size: int = 2,
     brick_capacity_factor: float = 0.5,
     brick_floor: int = 512,
+    map_mode: str = "derived",
 ) -> Hierarchy:
     """Build grids + per-level submanifold contexts + strided kernel maps.
 
-    use_bricks=False (default): submanifold convs use [N, 27] row kernel maps
-    (sort-join lookups). The brick-dense alternative (ops/brick.py) is exact
-    but benchmarked ~2x slower on v5e (PLAN.md) - kept behind this flag for
-    hardware where contiguous brick gathers win.
+    map_mode="derived" (default): the stride-2 hierarchy doubles as a 2x2x2
+    brick tiling, so every kernel map below the top level is *derived by
+    index arithmetic* from the level above (sparse.derive_same_map /
+    derive_down_map) - only the tiny topmost level pays a sort-join lookup.
+    This removed the dominant map-build cost (sorting ~14N keys per level).
+    map_mode="lookup": the round-1 path (per-level sort-join lookups); kept
+    for A/B and as the parity oracle in tests.
+
+    use_bricks=True: submanifold convs additionally use the brick-dense
+    formulation (ops/brick.py) - exact but benchmarked ~2x slower on v5e
+    (PLAN.md); kept behind this flag for hardware where contiguous brick
+    gathers win.
     """
     if capacities is None:
         capacities = default_capacities(grid0.capacity, num_down)
     assert len(capacities) == num_down + 1
 
     def bricks_for(grid: SparseGrid, cap: int):
-        if not use_bricks:
-            m = same_level_map(grid, KERNEL_OFFSETS_K3, bits)
-            return m, jnp.zeros((), jnp.int32)
         nb = max(int(cap * brick_capacity_factor), min(brick_floor, cap))
         b = build_brick_level(grid, nb, brick_size, bits)
         return b, b.overflow
 
     grids = [grid0]
-    ctx0, ov0 = bricks_for(grid0, capacities[0])
-    bricks = [ctx0]
-    down_maps = []
-    up_maps = []
     parents = []
-    overflows = [ov0]
+    slot_tables = []
+    overflows = []
     fine = grid0
     for level in range(num_down):
         coarse, parent = downsample(fine, capacities[level + 1], bits)
@@ -121,13 +127,45 @@ def build_hierarchy(
         overflows.append(dropped)
         grids.append(coarse)
         parents.append(parent)
-        dmap = down_map_fine_side(fine, coarse, bits)
-        down_maps.append(dmap)
-        up_maps.append(up_map_from_down(dmap, fine.capacity))
-        ctx, ov = bricks_for(coarse, capacities[level + 1])
-        bricks.append(ctx)
-        overflows.append(ov)
+        slot_tables.append(
+            slot_table_from_parent(fine, parent, capacities[level + 1])
+        )
         fine = coarse
+
+    # Submanifold 27-maps: top level by sort-join, the rest derived top-down.
+    same_maps = [None] * (num_down + 1)
+    same_maps[num_down] = same_level_map(grids[num_down], KERNEL_OFFSETS_K3, bits)
+    if map_mode == "derived":
+        for level in range(num_down - 1, -1, -1):
+            same_maps[level] = derive_same_map(
+                grids[level], parents[level], slot_tables[level],
+                same_maps[level + 1],
+            )
+        down_maps = [
+            derive_down_map(same_maps[level + 1], slot_tables[level])
+            for level in range(num_down)
+        ]
+    else:
+        for level in range(num_down - 1, -1, -1):
+            same_maps[level] = same_level_map(grids[level], KERNEL_OFFSETS_K3, bits)
+        down_maps = [
+            down_map_fine_side(grids[level], grids[level + 1], bits)
+            for level in range(num_down)
+        ]
+    up_maps = [
+        up_map_from_down(down_maps[level], capacities[level])
+        for level in range(num_down)
+    ]
+
+    if use_bricks:
+        bricks = []
+        for level in range(num_down + 1):
+            ctx, ov = bricks_for(grids[level], capacities[level])
+            bricks.append(ctx)
+            overflows.append(ov)
+    else:
+        bricks = same_maps
+        overflows.append(jnp.zeros((), jnp.int32))
 
     return Hierarchy(
         grids=tuple(grids),

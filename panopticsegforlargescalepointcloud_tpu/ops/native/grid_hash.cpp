@@ -180,8 +180,17 @@ void knn1(
         int64_t cx = (int64_t)std::floor(query[3 * q] * inv);
         int64_t cy = (int64_t)std::floor(query[3 * q + 1] * inv);
         int64_t cz = (int64_t)std::floor(query[3 * q + 2] * inv);
-        int64_t found_ring = -1;
-        for (int64_t ring = 0; ring < 64; ++ring) {
+        for (int64_t ring = 0; ring < (1 << 21); ++ring) {
+            // Stop only when no unscanned cell can hold a closer point: a
+            // cell at Chebyshev ring r is at least (r-1)*cell away from any
+            // point of the query's cell, so a hit at distance d rules out
+            // rings with (ring-1)*cell > d. (A ring-0 hit can be up to
+            // sqrt(3)*cell away while a closer point sits in ring 2, so a
+            // fixed +1 ring after the first hit is NOT enough.)
+            if (besti >= 0) {
+                double gap = (double)(ring - 1) * cell;
+                if (gap > 0.0 && gap * gap > best) break;
+            }
             // scan the shell at Chebyshev distance `ring`
             for (int64_t dx = -ring; dx <= ring; ++dx)
                 for (int64_t dy = -ring; dy <= ring; ++dy)
@@ -200,10 +209,6 @@ void knn1(
                             if (d2 < best) { best = d2; besti = i; }
                         }
                     }
-            // a hit in ring r only bounds the true NN within ring r+1
-            // (cell-diagonal slack), so scan one extra ring before stopping
-            if (besti >= 0 && found_ring < 0) found_ring = ring;
-            if (found_ring >= 0 && ring >= found_ring + 1) break;
         }
         idx[q] = besti;
         dist[q] = (float)std::sqrt(best);

@@ -321,6 +321,133 @@ def up_map_from_down(dmap: jnp.ndarray, n_fine: int) -> jnp.ndarray:
     return flat.reshape(n_fine, k)
 
 
+# ---------------------------------------------------------------------------
+# Derived kernel maps: the stride-2 hierarchy doubles as a brick tiling
+# (coarse voxel c = 2x2x2 brick of fine voxels), so once the coarse level's
+# own 27-map exists, BOTH the fine 27-map and the stride-2 down map follow by
+# pure index arithmetic - no hash lookups, no sorts. Only the topmost (tiny)
+# level needs a sort-join lookup; this removed the dominant kernel-map build
+# cost (the old path sorted ~14N keys per level, see PLAN.md r2).
+# ---------------------------------------------------------------------------
+
+
+def _same_map_parity_tables() -> Tuple[np.ndarray, np.ndarray]:
+    """Static tables for deriving a fine 27-map from the coarse 27-map.
+
+    For a fine voxel c with per-axis parities p (bit = c&1) and kernel offset
+    o, the neighbor q = c + o lives in coarse voxel floor(q/2) = floor(c/2) +
+    delta with per-axis delta in {-1,0,1} depending only on (parity, o), at
+    brick slot q&1. Returns (KOFF [8, 27] coarse-offset index, SLOT [8, 27]
+    slot index), parity code = px*4 + py*2 + pz.
+    """
+    koff = np.zeros((8, 27), np.int32)
+    slot = np.zeros((8, 27), np.int32)
+    for p in range(8):
+        par = ((p >> 2) & 1, (p >> 1) & 1, p & 1)
+        for k, o in enumerate(KERNEL_OFFSETS_K3):
+            d = [0, 0, 0]
+            s = [0, 0, 0]
+            for a in range(3):
+                q = par[a] + int(o[a])  # c ~ parity mod 2; q parity-level coord
+                d[a] = q >> 1  # floor((c+o)/2) - floor(c/2) for c = 2m + par
+                s[a] = q & 1
+            koff[p, k] = ((d[0] + 1) * 3 + (d[1] + 1)) * 3 + (d[2] + 1)
+            slot[p, k] = s[0] * 4 + s[1] * 2 + s[2]
+    return koff, slot
+
+
+_SAME_KOFF, _SAME_SLOT = _same_map_parity_tables()
+
+# Down map statics: coarse output c gathers fine q = 2c + o; q's brick is
+# floor(q/2) = c + floor(o/2) (delta in {-1,0}), at slot o&1 per axis.
+_DOWN_KOFF = np.array(
+    [
+        (((int(o[0]) >> 1) + 1) * 3 + ((int(o[1]) >> 1) + 1)) * 3
+        + ((int(o[2]) >> 1) + 1)
+        for o in KERNEL_OFFSETS_K3
+    ],
+    np.int32,
+)
+_DOWN_SLOT = np.array(
+    [
+        (int(o[0]) & 1) * 4 + (int(o[1]) & 1) * 2 + (int(o[2]) & 1)
+        for o in KERNEL_OFFSETS_K3
+    ],
+    np.int32,
+)
+
+
+def slot_table_from_parent(
+    fine: SparseGrid, parent: jnp.ndarray, coarse_capacity: int
+) -> jnp.ndarray:
+    """[N_coarse, 8] int32: brick-slot table of the stride-2 tiling.
+
+    slot_table[c, sx*4+sy*2+sz] = fine row of the voxel at 2*coarse + (sx,
+    sy, sz), or -1. Collision-free (parent + slot determine the fine voxel).
+    """
+    par = (fine.coords & 1).astype(jnp.int32)
+    slot = par[:, 0] * 4 + par[:, 1] * 2 + par[:, 2]
+    ok = fine.mask & (parent >= 0)
+    tgt = jnp.where(ok, parent * 8 + slot, coarse_capacity * 8)
+    table = jnp.full((coarse_capacity * 8,), -1, jnp.int32)
+    rows = jnp.arange(fine.capacity, dtype=jnp.int32)
+    return table.at[tgt].set(rows, mode="drop").reshape(coarse_capacity, 8)
+
+
+def _parity_permute(table_nk: jnp.ndarray, parity: jnp.ndarray, perm: np.ndarray):
+    """out[i, k] = table_nk[i, perm[parity[i], k]] via 8 static permutations +
+    selects (no dynamic per-element gather - TPU-friendly)."""
+    res = table_nk[:, perm[0]]
+    for p in range(1, 8):
+        res = jnp.where((parity == p)[:, None], table_nk[:, perm[p]], res)
+    return res
+
+
+def derive_same_map(
+    fine: SparseGrid,
+    parent: jnp.ndarray,
+    slot_table: jnp.ndarray,
+    coarse_map: jnp.ndarray,
+) -> jnp.ndarray:
+    """Fine-level 27-neighbor map from the coarse 27-map + brick slot table.
+
+    Exact equal to ``same_level_map(fine)`` whenever no voxel overflowed the
+    coarse capacity (overflow is counted by the hierarchy builder).
+    """
+    n = fine.capacity
+    par_bits = (fine.coords & 1).astype(jnp.int32)
+    parity = par_bits[:, 0] * 4 + par_bits[:, 1] * 2 + par_bits[:, 2]
+    ok = fine.mask & (parent >= 0)
+    # coarse neighbors of my parent brick: [N, 27] row gather
+    pnbr = jnp.take(coarse_map, jnp.maximum(parent, 0), axis=0)
+    # pick, per (parity, k), which coarse neighbor holds voxel c + o_k
+    nbr_brick = _parity_permute(pnbr, parity, _SAME_KOFF)
+    # slot of c + o_k inside that brick (values depend only on parity, k)
+    slot_vals = jnp.asarray(_SAME_SLOT)  # [8, 27]
+    slot = jnp.take(slot_vals, parity, axis=0)  # [N, 27] row gather of 8 rows
+    flat = slot_table.reshape(-1)
+    idx = jnp.where(nbr_brick >= 0, nbr_brick * 8 + slot, slot_table.size - 1)
+    rows = jnp.take(flat, idx)
+    rows = jnp.where((nbr_brick >= 0) & ok[:, None], rows, -1)
+    # the all-(-1) guard: slot_table.size-1 may be a real entry; mask instead
+    return rows
+
+
+def derive_down_map(coarse_map: jnp.ndarray, slot_table: jnp.ndarray) -> jnp.ndarray:
+    """Stride-2 kernel map (== down_map_fine_side) from the coarse 27-map +
+    slot table: coarse c gathers fine 2c + o = slot (o&1) of brick
+    c + floor(o/2)."""
+    nbr_brick = coarse_map[:, _DOWN_KOFF]  # static column permutation
+    flat = slot_table.reshape(-1)
+    idx = jnp.where(
+        nbr_brick >= 0,
+        nbr_brick * 8 + jnp.asarray(_DOWN_SLOT)[None, :],
+        slot_table.size - 1,
+    )
+    rows = jnp.take(flat, idx)
+    return jnp.where(nbr_brick >= 0, rows, -1)
+
+
 def up_map(
     fine: SparseGrid,
     coarse: SparseGrid,

@@ -51,9 +51,11 @@ def make_parallel_train_step(
     with_clustering: bool,
     axis_name: str = "data",
     grad_clip_value: float | None = None,
+    class_weights=None,
 ):
     """Returns a jitted step: (replicated TrainState, [D,...] arrays) ->
     (TrainState, metrics). Gradients psum over the mesh."""
+    cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
 
     def device_step(state: TrainState, arrays):
         arrays = tuple(a[0] for a in arrays)  # shard_map gives [1, ...] blocks
@@ -72,6 +74,7 @@ def make_parallel_train_step(
             total, losses = panoptic_losses(
                 cfg, out, db.y, db.vote_label, db.instance_labels,
                 db.instance_mask, db.grid.batch, db.grid.mask,
+                class_weights=cw,
             )
             return total, (losses, new_stats)
 

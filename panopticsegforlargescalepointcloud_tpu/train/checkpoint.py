@@ -8,8 +8,13 @@ the optimizer state, the full run config (so eval can rebuild dataset+model
 from the checkpoint alone) and the per-stage stats history (whose length
 doubles as the resume epoch counter, :230-231).
 
-Serialization: flax.serialization msgpack for arrays + json-able metadata,
-all in one .ckpt file (a zip via numpy savez would lose pytree structure).
+Serialization: flax.serialization msgpack (arrays + json-able metadata in one
+.ckpt file) - safe to load from untrusted sources, unlike pickle. The
+optimizer state is stored as a flat leaf list (the trainer re-unflattens it
+against the live optax structure on resume). Round-1 checkpoints were
+pickled; loading falls back to pickle for those legacy files only (trusted
+migration path - pickle executes arbitrary code, so never point
+checkpoint_dir at an untrusted legacy .ckpt).
 """
 
 from __future__ import annotations
@@ -19,6 +24,7 @@ import os.path as osp
 import pickle
 from typing import Any, Dict, List, Optional
 
+import flax.serialization
 import jax
 import numpy as np
 
@@ -61,7 +67,12 @@ class ModelCheckpoint:
         self.path = osp.join(ckpt_dir, name + ".ckpt")
         if osp.exists(self.path):
             with open(self.path, "rb") as f:
-                self._data = pickle.load(f)
+                raw = f.read()
+            try:
+                self._data = flax.serialization.msgpack_restore(raw)
+            except Exception:
+                # legacy (round-1) pickled checkpoint; see module docstring
+                self._data = pickle.loads(raw)
         else:
             self._data = {
                 "models": {},
@@ -104,7 +115,11 @@ class ModelCheckpoint:
         Returns the list of improved metric names."""
         weights = _to_host(weights)
         self._data["models"]["latest"] = weights
-        self._data["optimizer"] = _to_host(optimizer_state)
+        # flat leaf list: msgpack-able regardless of the optax state's
+        # NamedTuple nesting; the trainer unflattens against tx.init(params)
+        self._data["optimizer"] = [
+            np.asarray(l) for l in jax.tree_util.tree_leaves(optimizer_state)
+        ]
         for stage, metrics in stage_metrics.items():
             self._data["stats"].setdefault(stage, []).append(
                 {k: float(v) for k, v in metrics.items()}
@@ -136,5 +151,5 @@ class ModelCheckpoint:
     def _flush(self):
         tmp = self.path + ".tmp"
         with open(tmp, "wb") as f:
-            pickle.dump(self._data, f, protocol=pickle.HIGHEST_PROTOCOL)
+            f.write(flax.serialization.msgpack_serialize(self._data))
         os.replace(tmp, self.path)

@@ -58,17 +58,30 @@ class FullSceneEvaluator:
         th = 0.1 if th_merge is None else th_merge
         reports = []
         for fi in range(len(self.dataset.files)):
-            raw = (
-                self.dataset.raw_clouds[fi]
-                if self.dataset.keep_raw and self.dataset.raw_clouds
-                else self.dataset.clouds[fi]
-            )
+            if self.dataset.keep_raw and self.dataset.raw_clouds:
+                raw = self.dataset.raw_clouds[fi]
+                remap = None
+            else:
+                # origin_id provenance points into the RAW cloud rows; when
+                # only the subsampled cloud is kept, remap those ids onto
+                # subsampled rows so the accumulator indexes correctly
+                # (VERDICT r1 weak #6).
+                raw = self.dataset.clouds[fi]
+                src = raw["origin_id"].astype(np.int64)
+                remap = np.full(int(src.max()) + 2, -1, np.int64)
+                remap[src] = np.arange(len(src), dtype=np.int64)
             acc = SceneAccumulator(raw["pos"], self.pcfg.num_classes)
-            tiles = self.dataset.test_tiles(fi)
-            log.info("file %d: %d tiles", fi, len(tiles))
-            for _vote in range(max(int(voting_runs), 1)):
+            runs = max(int(voting_runs), 1)
+            for vote in range(runs):
+                # each voting run re-tiles with a shifted grid origin so the
+                # votes come from genuinely different cylinder decompositions
+                # (reference voting interacts with its random transforms;
+                # VERDICT r1 weak #5)
+                tiles = self.dataset.test_tiles(fi, grid_shift=vote / runs)
+                if vote == 0:
+                    log.info("file %d: %d tiles x %d votes", fi, len(tiles), runs)
                 for tile, tile_full_ids in tiles:
-                    self._process_tile(acc, tile, tile_full_ids, th)
+                    self._process_tile(acc, tile, tile_full_ids, th, remap)
             sem, ins = acc.finalise(
                 stuff_classes=self.pcfg.stuff_classes,
                 distance_cutoff=1.0,
@@ -105,11 +118,14 @@ class FullSceneEvaluator:
             )
         return reports
 
-    def _process_tile(self, acc, tile, tile_full_ids, th):
+    def _process_tile(self, acc, tile, tile_full_ids, th, remap=None):
         vb = collate_tiles([tile], capacity=self.capacity, num_tiles=1)
         db, out = self._fwd(self.params, self.batch_stats, batch_arrays(vb))
         mask = np.asarray(db.grid.mask)
         origin = np.asarray(db.origin_id)
+        if remap is not None:
+            origin = remap[np.clip(origin, 0, len(remap) - 1)]
+            tile_full_ids = remap[np.clip(tile_full_ids, 0, len(remap) - 1)]
         sem = np.asarray(out.semantic_logits)
         row_to_sub = np.cumsum(mask) - 1  # canonical row -> position in valid subset
 

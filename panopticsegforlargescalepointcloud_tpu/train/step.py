@@ -101,6 +101,8 @@ def panoptic_forward(
     props = None
     scores = None
     member_mask_scores = None
+    mask_row_valid = None
+    scorer_overflow = None
     if with_clustering:
         props = build_proposals(
             cfg, db.pos, off, emb, sem, db.grid.batch, db.grid.mask
@@ -119,7 +121,7 @@ def panoptic_forward(
             scores = jnp.max(jnp.exp(mean_logp), axis=-1)
             scores = jnp.where(props.prop_valid, scores, 0.0)
         elif cfg.use_score_net:
-            sg, shier, sfeats, member_row = scorer_inputs(
+            sg, shier, sfeats, member_row, scorer_overflow = scorer_inputs(
                 cfg, props, db.grid.coords, x
             )
             res2 = model.apply(
@@ -139,7 +141,12 @@ def panoptic_forward(
             else:
                 scores, mask_logits = res2
             if mask_logits is not None:
-                safe = jnp.where(member_row >= 0, member_row, 0)
+                # Members whose voxel was dropped from the scorer grid
+                # (bit-budget overflow) have member_row == -1; they must not
+                # borrow row 0's logit, so mask_row_valid excludes them from
+                # mask supervision (ADVICE r1 high).
+                mask_row_valid = member_row >= 0
+                safe = jnp.where(mask_row_valid, member_row, 0)
                 member_mask_scores = jnp.take(mask_logits, safe)
 
     out = PanopticOutput(
@@ -150,6 +157,8 @@ def panoptic_forward(
         proposals=props,
         cluster_scores=scores,
         mask_scores=member_mask_scores,
+        mask_row_valid=mask_row_valid,
+        scorer_overflow=scorer_overflow,
     )
     return out, variables.get("batch_stats", {})
 
@@ -184,7 +193,7 @@ def init_state(
             example.grid.batch,
             example.grid.mask,
         )
-        sg, shier, sfeats, _ = scorer_inputs(
+        sg, shier, sfeats, _, _ = scorer_inputs(
             cfg, props, example.grid.coords,
             jnp.zeros((example.pos.shape[0], cfg.in_feat)),
         )
@@ -207,8 +216,10 @@ def make_train_step(
     tx: optax.GradientTransformation,
     with_clustering: bool,
     grad_clip_value: float | None = None,
+    class_weights=None,
 ):
     """Returns a jitted train step: (state, raw batch arrays) -> (state, metrics)."""
+    cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
 
     def step(state: TrainState, arrays) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         db = canonicalize(*arrays)
@@ -233,6 +244,7 @@ def make_train_step(
                 db.instance_mask,
                 db.grid.batch,
                 db.grid.mask,
+                class_weights=cw,
             )
             return total, (losses, new_stats)
 

@@ -115,32 +115,63 @@ class Trainer:
             self.val_dataset = self.dataset
 
         self.model = PointGroup3HeadsNet(self.pcfg)
-        steps_per_epoch = max(
-            self.tcfg.samples_per_epoch // self.tcfg.batch_size, 1
-        )
-        self.steps_per_epoch = steps_per_epoch
-        schedule = optax.exponential_decay(
-            init_value=self.tcfg.lr,
-            transition_steps=steps_per_epoch,
-            decay_rate=self.tcfg.lr_gamma,
-            staircase=True,
-        )
-        self.tx = optax.adam(schedule)
+        # data-parallel mesh (SURVEY §2.9: tiles are the batch axis; grads
+        # psum over ICI). batch_size is per device.
+        nd = self.tcfg.num_devices
+        nd = len(jax.devices()) if nd == 0 else nd
+        if nd > 1 and len(jax.devices()) < nd:
+            raise RuntimeError(
+                f"training.num_devices={nd} but only {len(jax.devices())} "
+                f"jax devices are visible"
+            )
+        self.num_devices = nd
+        self.mesh = None
+        if nd > 1:
+            from ..parallel import make_mesh
 
-        self._prepare_step = make_train_step(
-            self.pcfg, self.model, self.tx, with_clustering=False,
-            grad_clip_value=self._clip(),
-        )
-        self._full_step = make_train_step(
-            self.pcfg, self.model, self.tx, with_clustering=True,
-            grad_clip_value=self._clip(),
-        )
+            self.mesh = make_mesh(jax.devices()[:nd])
+            log.info("data-parallel over %d devices (%s)", nd, jax.devices()[0].platform)
+        global_batch = self.tcfg.batch_size * nd
+        steps_per_epoch = max(self.tcfg.samples_per_epoch // global_batch, 1)
+        self.steps_per_epoch = steps_per_epoch
+        # optimizer + lr schedule + grad accumulation from the config groups
+        # (reference base_model.py:299-355, conf/lr_scheduler/*)
+        from .optim import build_from_config
+
+        self.tx, self.lr_schedule = build_from_config(self.tcfg, steps_per_epoch)
+
+        cw = None
+        if self.tcfg.use_class_weights and hasattr(self.dataset, "class_weights"):
+            cw = self.dataset.class_weights()
+            log.info("weighted semantic NLL, class weights %s", np.round(cw, 3))
+        if self.mesh is not None:
+            from ..parallel import make_parallel_train_step
+
+            self._prepare_step = make_parallel_train_step(
+                self.pcfg, self.model, self.tx, self.mesh,
+                with_clustering=False, grad_clip_value=self._clip(),
+                class_weights=cw,
+            )
+            self._full_step = make_parallel_train_step(
+                self.pcfg, self.model, self.tx, self.mesh,
+                with_clustering=True, grad_clip_value=self._clip(),
+                class_weights=cw,
+            )
+        else:
+            self._prepare_step = make_train_step(
+                self.pcfg, self.model, self.tx, with_clustering=False,
+                grad_clip_value=self._clip(), class_weights=cw,
+            )
+            self._full_step = make_train_step(
+                self.pcfg, self.model, self.tx, with_clustering=True,
+                grad_clip_value=self._clip(), class_weights=cw,
+            )
         self._eval_fwd = make_eval_forward(self.pcfg, self.model, with_clustering=True)
         self._eval_fwd_basic = make_eval_forward(
             self.pcfg, self.model, with_clustering=False
         )
 
-        example = self._next_batch()
+        example = self._collate_one_device()
         arrays = batch_arrays(example)
         db, hier = prepare_example(arrays, self.pcfg.num_down)
         self.state = init_state(
@@ -175,6 +206,10 @@ class Trainer:
                 self._load_weights("latest")
                 self.start_epoch = self.checkpoint.start_epoch
                 log.info("resumed from epoch %d", self.start_epoch)
+        if self.mesh is not None:
+            from ..parallel import replicate
+
+            self.state = replicate(self.mesh, self.state)
 
     def _clip(self):
         gc = self.tcfg.grad_clip
@@ -201,13 +236,22 @@ class Trainer:
             )
 
     # ------------------------------------------------------------------
-    def _next_batch(self):
+    def _collate_one_device(self):
         tiles = [
             self.dataset.sample_train_tile(self.rng)
             for _ in range(self.tcfg.batch_size)
         ]
         return collate_tiles(
             tiles, capacity=self.capacity, num_tiles=self.tcfg.batch_size
+        )
+
+    def _next_batch(self):
+        if self.mesh is None:
+            return self._collate_one_device()
+        from ..data import stack_device_batches
+
+        return stack_device_batches(
+            [self._collate_one_device() for _ in range(self.num_devices)]
         )
 
     def train(self, epochs: Optional[int] = None, batches_per_epoch: Optional[int] = None):
@@ -268,12 +312,18 @@ class Trainer:
             with self.timers.time("data"):
                 vb = self._next_batch()
                 arrays = batch_arrays(vb)
+                if self.mesh is not None:
+                    from ..parallel import shard_batch
+
+                    arrays = shard_batch(self.mesh, tuple(arrays))
             with self.timers.time("step"):
                 self.state, metrics = step(self.state, arrays)
                 metrics = {k: float(v) for k, v in metrics.items()}
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + v
         out = {k: v / num_batches for k, v in agg.items()}
+        opt_steps = int(jax.device_get(self.state.step)) // max(self.tcfg.grad_accum, 1)
+        out["lr"] = float(self.lr_schedule(opt_steps))
         out.update({f"time_{k}": v for k, v in self.timers.summary().items()})
         self.logger.log({f"train_{k}": v for k, v in out.items()}, step=int(self.state.step))
         return out
@@ -285,6 +335,12 @@ class Trainer:
         if with_instances is None:
             with_instances = epoch > self.pcfg.prepare_epoch
         fwd = self._eval_fwd if with_instances else self._eval_fwd_basic
+        eval_params, eval_stats = self.state.params, self.state.batch_stats
+        if self.mesh is not None:
+            # the eval forward is single-device; pull a host copy of the
+            # replicated weights rather than mixing shardings under jit
+            eval_params = jax.device_get(eval_params)
+            eval_stats = jax.device_get(eval_stats)
         cm = ConfusionMatrix(self.pcfg.num_classes)
         inst_metrics: List[tuple] = []
         ap_meter = InstanceAPMeter()
@@ -297,7 +353,7 @@ class Trainer:
             vb = collate_tiles(
                 tiles, capacity=self.capacity, num_tiles=self.tcfg.batch_size
             )
-            db, out = fwd(self.state.params, self.state.batch_stats, batch_arrays(vb))
+            db, out = fwd(eval_params, eval_stats, batch_arrays(vb))
             mask = np.asarray(db.grid.mask)
             y = np.asarray(db.y)
             pred = np.asarray(jnp.argmax(out.semantic_logits, -1))

@@ -45,3 +45,21 @@ class TestNative:
         tree = cKDTree(ref)
         d2, i2 = tree.query(query, k=1)
         np.testing.assert_allclose(dist, d2, rtol=1e-5)
+        np.testing.assert_array_equal(idx, i2)
+
+    def test_knn1_ring0_hit_is_not_terminal(self):
+        """Regression (ADVICE r1): a same-cell hit at ~sqrt(3)*cell must not
+        stop the search before a closer point two rings out is seen."""
+        ref = np.array([[0, 0, 0], [2, 0.99, 0.99]], np.float32)
+        query = np.array([[0.99, 0.99, 0.99]], np.float32)
+        idx, dist = knn1(ref, query, cell=1.0)
+        assert idx[0] == 1
+        np.testing.assert_allclose(dist[0], 1.01, rtol=1e-5)
+
+    def test_knn1_exact_indices_across_cells(self, rng):
+        for cell in (0.05, 0.5, 2.0):
+            ref = rng.normal(size=(1500, 3)).astype(np.float32)
+            query = (rng.normal(size=(300, 3)) * 2).astype(np.float32)
+            idx, dist = knn1(ref, query, cell=cell)
+            d2, i2 = cKDTree(ref).query(query, k=1)
+            np.testing.assert_array_equal(idx, i2)

@@ -70,3 +70,49 @@ class TestParallel:
         state3, metrics3 = step(state2, arrays)
         assert np.isfinite(float(metrics3["loss"]))
         assert float(metrics3["loss"]) < float(metrics["loss"]) * 1.5
+
+
+class TestTrainerDP:
+    def test_trainer_trains_on_mesh(self, tmp_path):
+        """Product-level DP: Trainer with training.num_devices=8 runs a full
+        epoch (prepare phase) + val on the CPU mesh and checkpoints
+        (VERDICT r1 next-round #1)."""
+        from panopticsegforlargescalepointcloud_tpu.train.trainer import Trainer
+
+        cfg = {
+            "training": {
+                "epochs": 1,
+                "batch_size": 1,
+                "samples_per_epoch": 8,
+                "num_devices": 8,
+                "eval_frequency": 1,
+            },
+            "models": {
+                "PG": {
+                    "feat_size": 8,
+                    "cluster_type": 5,
+                    "prepare_epoch": 30,
+                }
+            },
+            "model_name": "PG",
+            "data": {"class": "treeins"},
+        }
+        tr = Trainer(
+            cfg,
+            capacity=1024,
+            backbone="tiny",
+            checkpoint_dir=str(tmp_path),
+            max_instances=16,
+            max_props_rg=16,
+            ms_max_seeds=16,
+            ms_max_clusters=8,
+            ms_point_cap=512,
+        )
+        assert tr.mesh is not None and tr.num_devices == 8
+        # global batch 8 over 8 devices -> 1 step/epoch
+        assert tr.steps_per_epoch == 1
+        state = tr.train()
+        assert int(jax.device_get(state.step)) == 1
+        ck = tr.checkpoint
+        assert "latest" in ck._data["models"]
+        assert len(ck._data["stats"]["val"]) == 1

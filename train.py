@@ -17,7 +17,13 @@ import sys
 def main():
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
     # The dev image pins JAX_PLATFORMS=axon via sitecustomize (jax already
-    # imported); PST_PLATFORM=cpu re-targets after import.
+    # imported); PST_PLATFORM=cpu re-targets after import. PST_CPU_DEVICES=N
+    # exposes N virtual CPU devices (test training.num_devices without a
+    # multi-chip slice).
+    if os.environ.get("PST_CPU_DEVICES"):
+        import jax
+
+        jax.config.update("jax_num_cpu_devices", int(os.environ["PST_CPU_DEVICES"]))
     if os.environ.get("PST_PLATFORM"):
         import jax
 
