@@ -70,6 +70,7 @@ def main():
         files,
         grid_size=float(run_cfg["data"].get("grid_size", 0.2)),
         radius=float(run_cfg["data"].get("radius", 8)),
+        sampling_format=str(run_cfg["data"].get("sampling_format", "cylinder")),
         keep_raw=True,
     )
     model = PointGroup3HeadsNet(pcfg)

@@ -52,6 +52,10 @@ class TrainingConfig:
     # data-parallel device count: 1 = single device, 0 = all local devices;
     # batch_size is PER DEVICE (global batch = batch_size * num_devices)
     num_devices: int = 1
+    # validate on the FULL val split via deterministic grid tiling (the
+    # reference's _test_epoch walks the whole val loader, trainer.py:233-276);
+    # False = quick eval on random val-style tiles
+    full_val: bool = True
 
 
 def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
@@ -86,6 +90,7 @@ def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
         seed=int(t.get("seed", 2022)),
         checkpoint_dir=str(t.get("checkpoint_dir", "")),
         num_devices=int(t.get("num_devices", 1)),
+        full_val=bool(t.get("full_val", True)),
     )
 
 

@@ -103,13 +103,18 @@ class PanopticFileDataset:
         max_instances: int = 64,
         keep_raw: bool = False,
         rng: Optional[np.random.Generator] = None,
+        sampling_format: str = "cylinder",
     ):
+        assert sampling_format in ("cylinder", "sphere"), sampling_format
         self.spec = spec
         self.files = list(files)
         self.grid_size = grid_size
         self.radius = radius
         self.max_instances = max_instances
         self.keep_raw = keep_raw
+        # tile shape (reference treeins.py:638: TreeinsCylinder vs
+        # TreeinsSphere chosen by data.sampling_format)
+        self.sampling_format = sampling_format
         self._rng = rng or np.random.default_rng(2022)
         self.processed_dir = processed_dir
         if processed_dir:
@@ -153,7 +158,10 @@ class PanopticFileDataset:
     def _build_sampling_tables(self) -> None:
         from ..ops import native
 
-        if native.available():
+        if self.sampling_format == "sphere":
+            self._grids = None
+            self._trees = [cKDTree(c["pos"]) for c in self.clouds]
+        elif native.available():
             self._grids = [
                 native.Grid2D(c["pos"][:, :2], cell=self.radius) for c in self.clouds
             ]
@@ -181,14 +189,21 @@ class PanopticFileDataset:
             self._label_probs, self._labels = None, None
 
     # ------------------------- train sampling -------------------------
-    def _cylinder(self, file_idx: int, centre_xy: np.ndarray) -> Dict[str, np.ndarray]:
-        if self._grids is not None:
+    def _query_tile(self, file_idx: int, centre: np.ndarray) -> Dict[str, np.ndarray]:
+        """All points within ``radius`` of ``centre``: a vertical cylinder
+        (xy query) or a sphere (xyz query) per ``sampling_format``."""
+        if self.sampling_format == "sphere":
+            idx = np.asarray(
+                sorted(self._trees[file_idx].query_ball_point(centre[:3], self.radius)),
+                dtype=np.int64,
+            )
+        elif self._grids is not None:
             idx = self._grids[file_idx].cylinder_query(
-                float(centre_xy[0]), float(centre_xy[1]), self.radius
+                float(centre[0]), float(centre[1]), self.radius
             )
         else:
             idx = np.asarray(
-                sorted(self._trees[file_idx].query_ball_point(centre_xy, self.radius)),
+                sorted(self._trees[file_idx].query_ball_point(centre[:2], self.radius)),
                 dtype=np.int64,
             )
         c = self.clouds[file_idx]
@@ -200,7 +215,7 @@ class PanopticFileDataset:
             lab = rng.choice(self._labels, p=self._label_probs)
             valid = self._centres[self._centres[:, 4] == lab]
             centre = valid[int(rng.random() * (len(valid) - 1))]
-            tile = self._cylinder(int(centre[3]), centre[:2])
+            tile = self._query_tile(int(centre[3]), centre[:3])
             if len(tile["pos"]) < 10:
                 continue
             if self.spec.require_thing_in_tile and not np.isin(
@@ -255,15 +270,22 @@ class PanopticFileDataset:
         mins, maxs = reduced.min(0), reduced.max(0)
         step = self.radius
         off = (grid_shift % 1.0) * step
+        if self.sampling_format == "sphere":
+            z = c["pos"][:, 2]
+            z_steps = np.arange(z.min() - off, z.max() + step, step)
+        else:
+            z_steps = np.array([0.0])
         tiles = []
         for cx in np.arange(mins[0] - off, maxs[0] + step, step):
             for cy in np.arange(mins[1] - off, maxs[1] + step, step):
-                centre = np.array([cx, cy]) @ comps + mean
-                tile = self._cylinder(file_idx, centre)
-                if len(tile["pos"]) == 0:
-                    continue
-                tiles.append((self._make_tile(tile, rng, train=False),
-                              tile["origin_id"].astype(np.int64)))
+                for cz in z_steps:
+                    centre_xy = np.array([cx, cy]) @ comps + mean
+                    centre = np.array([centre_xy[0], centre_xy[1], cz])
+                    tile = self._query_tile(file_idx, centre)
+                    if len(tile["pos"]) == 0:
+                        continue
+                    tiles.append((self._make_tile(tile, rng, train=False),
+                                  tile["origin_id"].astype(np.int64)))
         return tiles
 
     @property

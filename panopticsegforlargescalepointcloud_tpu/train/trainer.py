@@ -95,6 +95,7 @@ class Trainer:
                 grid_size=float(data_cfg.get("grid_size", 0.2)),
                 radius=float(data_cfg.get("radius", 8)),
                 processed_dir=data_cfg.get("processed_dir"),
+                sampling_format=str(data_cfg.get("sampling_format", "cylinder")),
                 rng=self.rng,
             )
             self.val_dataset = (
@@ -104,6 +105,7 @@ class Trainer:
                     grid_size=float(data_cfg.get("grid_size", 0.2)),
                     radius=float(data_cfg.get("radius", 8)),
                     processed_dir=data_cfg.get("processed_dir"),
+                    sampling_format=str(data_cfg.get("sampling_format", "cylinder")),
                     rng=self.rng,
                 )
                 if files.get("val")
@@ -308,9 +310,32 @@ class Trainer:
             else self._prepare_step
         )
         agg: Dict[str, float] = {}
-        for _ in range(num_batches):
+        find_nbr = bool(
+            (self.cfg.get("debugging", {}) or {}).get("find_neighbour_dist")
+        )
+        nbr_stats: Dict[str, float] = {}
+        for bi in range(num_batches):
             with self.timers.time("data"):
                 vb = self._next_batch()
+                if find_nbr and bi == 0:
+                    # FIND_NEIGHBOUR_DIST diagnostic (reference
+                    # utils/debugging_vars.py): neighbor counts at the
+                    # clustering radius on the first batch of the epoch
+                    from ..utils.debugging import neighbour_count_stats
+
+                    flat = vb if vb.pos.ndim == 2 else type(vb)(
+                        *[a[0] for a in vb]
+                    )
+                    stats = neighbour_count_stats(
+                        flat.pos, flat.batch, flat.mask,
+                        self.pcfg.cluster_radius, self.pcfg.rg_k_neighbors,
+                    )
+                    log.info(
+                        "neighbour dist @ r=%.3g k=%d: %s",
+                        self.pcfg.cluster_radius, self.pcfg.rg_k_neighbors,
+                        {k: round(v, 3) for k, v in stats.items()},
+                    )
+                    nbr_stats = stats
                 arrays = batch_arrays(vb)
                 if self.mesh is not None:
                     from ..parallel import shard_batch
@@ -322,6 +347,7 @@ class Trainer:
             for k, v in metrics.items():
                 agg[k] = agg.get(k, 0.0) + v
         out = {k: v / num_batches for k, v in agg.items()}
+        out.update(nbr_stats)
         opt_steps = int(jax.device_get(self.state.step)) // max(self.tcfg.grad_accum, 1)
         out["lr"] = float(self.lr_schedule(opt_steps))
         out.update({f"time_{k}": v for k, v in self.timers.summary().items()})
@@ -329,6 +355,35 @@ class Trainer:
         return out
 
     # ------------------------------------------------------------------
+    def _val_batches(self, num_batches: int):
+        """Yield validation VoxelBatches.
+
+        With ``training.full_val`` and a file-backed val split, walks the
+        WHOLE split as a deterministic PCA-grid tiling (the reference's
+        ``_test_epoch`` over the val loader, trainer.py:233-276) so the
+        ``best_<metric>`` checkpoint selection is stable and reproducible.
+        Otherwise samples ``num_batches`` random val-style tiles (quick eval).
+        """
+        if self.tcfg.full_val and hasattr(self.val_dataset, "test_tiles"):
+            tiles = []
+            for fi in range(len(self.val_dataset.files)):
+                tiles.extend(t for t, _ in self.val_dataset.test_tiles(fi))
+            for i in range(0, len(tiles), self.tcfg.batch_size):
+                yield collate_tiles(
+                    tiles[i : i + self.tcfg.batch_size],
+                    capacity=self.capacity,
+                    num_tiles=self.tcfg.batch_size,
+                )
+            return
+        for _ in range(num_batches):
+            tiles = [
+                self.val_dataset.sample_train_tile(self.rng)
+                for _ in range(self.tcfg.batch_size)
+            ]
+            yield collate_tiles(
+                tiles, capacity=self.capacity, num_tiles=self.tcfg.batch_size
+            )
+
     def eval_epoch(
         self, epoch: int, num_batches: int = 10, with_instances: Optional[bool] = None
     ) -> Dict[str, float]:
@@ -345,14 +400,7 @@ class Trainer:
         inst_metrics: List[tuple] = []
         ap_meter = InstanceAPMeter()
         scan_offset = 0
-        for _ in range(num_batches):
-            tiles = [
-                self.val_dataset.sample_train_tile(self.rng)
-                for _ in range(self.tcfg.batch_size)
-            ]
-            vb = collate_tiles(
-                tiles, capacity=self.capacity, num_tiles=self.tcfg.batch_size
-            )
+        for vb in self._val_batches(num_batches):
             db, out = fwd(eval_params, eval_stats, batch_arrays(vb))
             mask = np.asarray(db.grid.mask)
             y = np.asarray(db.y)

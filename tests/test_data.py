@@ -131,3 +131,27 @@ class TestDataset:
             processed_dir=str(tmp_path / "proc"), rng=rng,
         )
         assert len(ds2.clouds[0]["pos"]) == len(ds.clouds[0]["pos"])
+
+
+class TestSphereSampling:
+    def test_sphere_membership_and_coverage(self, tmp_path, rng):
+        """sampling_format=sphere (reference TreeinsSphere,
+        segmentation/treeins.py:461-563 selected at :638-639): tiles are
+        true 3D balls and the test tiling covers the whole cloud."""
+        ply = str(tmp_path / "forest.ply")
+        make_forest_ply(ply, rng, n_trees=4, extent=12.0)
+        ds = PanopticFileDataset(
+            TREEINS_SPEC, [ply], grid_size=0.2, radius=4.0,
+            sampling_format="sphere", rng=rng,
+        )
+        t = ds._query_tile(0, np.array([5.0, 5.0, 2.0]))
+        d = np.linalg.norm(t["pos"] - np.array([5.0, 5.0, 2.0]), axis=1)
+        assert len(t["pos"]) > 0
+        assert (d <= 4.0 + 1e-6).all()
+
+        tile = ds.sample_train_tile(rng)
+        assert (tile["y"] == 1).any()  # treeins rejects tree-less tiles
+
+        tiles = ds.test_tiles(0)
+        cover = np.unique(np.concatenate([ids for _, ids in tiles]))
+        assert len(cover) == len(ds.clouds[0]["pos"])

@@ -40,7 +40,7 @@ class TestConfig:
         assert cfg["training"]["epochs"] == 7
         m = cfg["models"]["PointGroup-PAPER"]
         assert m["use_score_net"] is False
-        assert m["cluster_type"] == 3
+        assert m["cluster_type"] == 7  # Setting I reference semantics (pointgroupembed.py:469-497)
         assert abs(m["cluster_radius_search"] - 0.18) < 1e-9
 
     def test_schema_mapping(self):
@@ -55,7 +55,7 @@ class TestConfig:
 
     def test_all_five_settings_load(self):
         for name, ct, score in [
-            ("area4_ablation_19", 3, False),
+            ("area4_ablation_19", 7, False),
             ("area4_ablation_14", 1, True),
             ("area4_ablation_15", 2, True),
             ("area4_ablation_3heads_5", 5, True),
@@ -143,3 +143,44 @@ class TestTrainer:
         m = trainer.eval_epoch(epoch=2, num_batches=1)
         assert 0 <= m["miou"] <= 1
         assert 0 <= m["acc"] <= 1
+
+
+class TestFullValSplit:
+    def test_full_val_deterministic(self, tmp_path, rng):
+        """training.full_val walks the whole val split as a deterministic
+        grid tiling: metrics are bit-identical across repeated eval calls
+        (reference _test_epoch over the val loader, trainer.py:233-276;
+        VERDICT r1 weak #4)."""
+        from test_data import make_forest_ply
+
+        from panopticsegforlargescalepointcloud_tpu.train.trainer import Trainer
+
+        ply = str(tmp_path / "val.ply")
+        make_forest_ply(ply, rng, n_trees=3, extent=10.0)
+        cfg = load_config(
+            CONF,
+            [
+                "training.epochs=1",
+                "training.batch_size=2",
+                "training.samples_per_epoch=2",
+                "data=panoptic/treeins_rad8",
+            ],
+        )
+        cfg["data"]["files"] = {"train": [ply], "val": [ply]}
+        cfg["data"]["radius"] = 5.0
+        trainer = Trainer(
+            cfg, capacity=4096, backbone="tiny",
+            in_feat=8, max_instances=16, max_props_rg=32, ms_max_seeds=32,
+            ms_max_clusters=8, ms_point_cap=1024, cluster_radius=0.9,
+            min_cluster_points=20, prepare_epoch=0,
+        )
+        assert trainer.tcfg.full_val
+        m1 = trainer.eval_epoch(epoch=1)
+        m2 = trainer.eval_epoch(epoch=1)
+        assert m1.keys() == m2.keys()
+        for k in m1:
+            assert m1[k] == m2[k], k
+        # quick-eval fallback still works and differs in mechanism
+        trainer.tcfg.full_val = False
+        m3 = trainer.eval_epoch(epoch=1, num_batches=1)
+        assert 0 <= m3["miou"] <= 1

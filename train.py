@@ -42,11 +42,33 @@ def main():
 
     capacity = int(cfg.get("data", {}).get("voxel_capacity", 65536))
     backbone = str(cfg.get("backbone", "paper"))
+    # Run-dir management (reference conf/hydra/output/custom.yaml:
+    # ./outputs/${job_name}/${job_name}-${model_name}-${now}): when no
+    # checkpoint_dir is given, each run gets its own timestamped directory
+    # holding the checkpoint, composed config, and metric logs.
+    run_dir = cfg.get("checkpoint_dir") or cfg.get("training", {}).get(
+        "checkpoint_dir"
+    )
+    if not run_dir:
+        import time
+
+        job = str(cfg.get("job_name", "benchmark"))
+        stamp = time.strftime("%Y%m%d_%H%M%S")
+        run_dir = os.path.join(
+            "outputs", job, f"{job}-{cfg.get('model_name', 'model')}-{stamp}"
+        )
+        os.makedirs(run_dir, exist_ok=True)
+        logging.info("run dir: %s", run_dir)
+    import yaml as _yaml
+
+    os.makedirs(run_dir, exist_ok=True)
+    with open(os.path.join(run_dir, "config_composed.yaml"), "w") as f:
+        _yaml.safe_dump(cfg, f, default_flow_style=None)
     trainer = Trainer(
         cfg,
         capacity=capacity,
         backbone=backbone,
-        checkpoint_dir=cfg.get("checkpoint_dir") or None,
+        checkpoint_dir=run_dir,
     )
     trainer.train()
 
