@@ -9,6 +9,11 @@ synthetic NPM3D-scale cylinder tiles, and prints ONE JSON line:
 ``vs_baseline`` compares against the first recorded run on this machine
 (bench_baseline.json, created on first use) so improvements are visible
 round-over-round; the reference publishes no comparable number (BASELINE.md).
+
+With BENCH_PHASES=1 it additionally measures the per-phase wall split the
+reference tracked (canonicalize / hierarchy+kernel maps / backbone+heads /
+clustering+ScoreNet on device, block merging on host) and writes it to
+bench_phases.json (stderr summary; stdout stays the single JSON line).
 """
 
 import json
@@ -42,6 +47,145 @@ def build_inputs(num_tiles=4, capacity=131072, seed=0):
     return vb
 
 
+def measure_phases(cfg, model, state, arrays, valid_voxels, iters):
+    """Chained-dependency timing of each pipeline stage (same protocol as the
+    main number; stages are cumulative jits, reported as differences)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from panopticsegforlargescalepointcloud_tpu.models.pointgroup3heads import (
+        PointGroup3HeadsNet,
+    )
+    from panopticsegforlargescalepointcloud_tpu.ops.hierarchy import build_hierarchy
+    from panopticsegforlargescalepointcloud_tpu.train.step import (
+        canonicalize,
+        panoptic_forward,
+    )
+
+    feats0 = arrays[3]
+
+    def chain(fn, n):
+        feats, s = feats0, None
+        for _ in range(n):
+            feats, s = fn(state.params, state.batch_stats, feats, arrays)
+        return float(s)
+
+    def timed(fn):
+        chain(fn, 1)
+        t0 = time.perf_counter()
+        chain(fn, 1)
+        t1 = time.perf_counter()
+        chain(fn, iters + 1)
+        t2 = time.perf_counter()
+        return max((t2 - t1) - (t1 - t0), 1e-9) / iters * 1e3  # ms
+
+    def with_feats(arrays, feats):
+        db = canonicalize(*arrays)
+        return db._replace(feats=feats)
+
+    @jax.jit
+    def f_canon(params, stats, feats, arrays):
+        db = with_feats(arrays, feats)
+        s = jnp.sum(db.grid.keys.astype(jnp.float32))
+        return feats + 1e-30 * s.astype(feats.dtype), s
+
+    @jax.jit
+    def f_hier(params, stats, feats, arrays):
+        db = with_feats(arrays, feats)
+        hier = build_hierarchy(
+            db.grid, cfg.num_down, use_bricks=cfg.use_bricks,
+            brick_size=cfg.brick_size, brick_capacity_factor=cfg.brick_factor,
+        )
+        s = sum(jnp.sum(m.astype(jnp.float32)) for m in
+                [g.mask for g in hier.grids]) + jnp.sum(
+            hier.down_maps[0][:, 0].astype(jnp.float32)
+        ) + jnp.sum(db.grid.keys.astype(jnp.float32))
+        return feats + 1e-30 * s.astype(feats.dtype), s
+
+    # clustering + ScoreNet at the reference's eval protocol: batch 1, one
+    # eval-sized tile (the full-capacity batch would need the training-only
+    # no-clustering path; clustering memory scales with the neighbor budget)
+    import dataclasses
+
+    cfg1 = dataclasses.replace(cfg, num_samples=1)
+    model1 = PointGroup3HeadsNet(cfg1)
+    vb1 = build_inputs(num_tiles=1, capacity=max(arrays[0].shape[0] // 4, 16384))
+    from panopticsegforlargescalepointcloud_tpu.train.step import batch_arrays
+
+    arrays1 = tuple(jnp.asarray(a) for a in batch_arrays(vb1))
+
+    def mk_single(with_clustering):
+        @jax.jit
+        def f(params, stats, feats, arrays):
+            db = canonicalize(*arrays)
+            db = db._replace(feats=feats)
+            hier = build_hierarchy(
+                db.grid, cfg1.num_down, use_bricks=cfg1.use_bricks,
+                brick_size=cfg1.brick_size, brick_capacity_factor=cfg1.brick_factor,
+            )
+            out, _ = panoptic_forward(
+                cfg1, model1, {"params": params, "batch_stats": stats}, db, hier,
+                train=False, with_clustering=with_clustering,
+            )
+            s = jnp.sum(out.semantic_logits)
+            if out.cluster_scores is not None:
+                s = s + jnp.sum(out.cluster_scores)
+            return feats + 1e-30 * s.astype(feats.dtype), s
+        return f
+
+    def chain1(fn, n):
+        feats, s = arrays1[3], None
+        for _ in range(n):
+            feats, s = fn(state.params, state.batch_stats, feats, arrays1)
+        return float(s)
+
+    def timed1(fn):
+        chain1(fn, 1)
+        t0 = time.perf_counter()
+        chain1(fn, 1)
+        t1 = time.perf_counter()
+        chain1(fn, iters + 1)
+        t2 = time.perf_counter()
+        return max((t2 - t1) - (t1 - t0), 1e-9) / iters * 1e3
+
+    t_canon = timed(f_canon)
+    t_hier = timed(f_hier)
+    t_tile_base = timed1(mk_single(False))
+    t_tile_full = timed1(mk_single(True))
+
+    # host-side block merging on representative synthetic outputs
+    import numpy as np
+
+    from panopticsegforlargescalepointcloud_tpu.eval.merge import SceneAccumulator
+
+    rng = np.random.default_rng(0)
+    n_scene = 400_000
+    scene_pos = rng.uniform(0, 100, (n_scene, 3)).astype(np.float32)
+    acc = SceneAccumulator(scene_pos, cfg.num_classes)
+    n_tile = 30_000
+    t0 = time.perf_counter()
+    tiles = 8
+    for i in range(tiles):
+        ids = rng.choice(n_scene, n_tile, replace=False).astype(np.int64)
+        logits = rng.normal(size=(n_tile, cfg.num_classes)).astype(np.float32)
+        clusters = [
+            np.arange(j * 300, (j + 1) * 300, dtype=np.int64) % n_tile
+            for j in range(24)
+        ]
+        acc.add_tile(ids, logits, ids, clusters, None, th_merge=0.1)
+    t_merge = (time.perf_counter() - t0) / tiles * 1e3
+
+    return {
+        "canonicalize": round(t_canon, 2),
+        "hierarchy_maps": round(t_hier - t_canon, 2),
+        "eval_tile_backbone": round(t_tile_base, 2),
+        "eval_tile_cluster_scorenet": round(t_tile_full - t_tile_base, 2),
+        "block_merge_host_per_tile": round(t_merge, 2),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -73,6 +217,7 @@ def main():
         num_samples=num_tiles,
         max_instances=64,
         cluster_radius=0.18,
+        gemm_mode=os.environ.get("BENCH_GEMM", "loop"),
     )
     model = PointGroup3HeadsNet(cfg)
     vb = build_inputs(num_tiles=num_tiles, capacity=capacity)
@@ -126,6 +271,18 @@ def main():
     dt = max((t2 - t1) - (t1 - t0), 1e-9) / iters
 
     pps = valid_voxels / dt
+
+    if os.environ.get("BENCH_PHASES"):
+        phases = measure_phases(cfg, model, state, arrays, valid_voxels, iters)
+        full = dt * 1e3  # canon + hier + backbone + heads
+        phases["backbone_heads"] = round(
+            full - phases["canonicalize"] - phases["hierarchy_maps"], 2
+        )
+        import sys
+
+        print("per-phase split (ms):", json.dumps(phases), file=sys.stderr)
+        with open(os.path.join(os.path.dirname(__file__), "bench_phases.json"), "w") as f:
+            json.dump({"valid_voxels": valid_voxels, "ms": phases}, f, indent=1)
 
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     if os.path.exists(baseline_path):

@@ -119,6 +119,45 @@ def write_ply(
             )
         f.write(b"end_header\n")
         if text:
-            np.savetxt(f, np.stack([c.astype(np.float64) for c in cols], 1), fmt="%g")
+            fmts = [
+                "%d" if c.dtype.kind in "iu" else
+                ("%.9g" if c.dtype.itemsize <= 4 else "%.17g")
+                for c in cols
+            ]
+            np.savetxt(
+                f, np.stack([c.astype(np.float64) for c in cols], 1),
+                fmt=" ".join(fmts),
+            )
         else:
             f.write(rec.tobytes())
+
+
+def to_eval_ply(path: str, pos: np.ndarray, preds: np.ndarray, gt: np.ndarray) -> None:
+    """The reference's evaluation exporter layout (``datasets/panoptic/
+    treeins.py:59-75`` to_eval_ply): ASCII PLY with properties
+    x/y/z float, preds/gt int16 - used for both Semantic_results_forEval and
+    Instance_Results_forEval files so evaluation_stats_{FOR,NPM3D}.py and the
+    reference's own offline tooling parse either framework's outputs."""
+    write_ply(
+        path,
+        [pos.astype(np.float32), preds.astype(np.int16), gt.astype(np.int16)],
+        ["x", "y", "z", "preds", "gt"],
+        text=True,
+    )
+
+
+def to_ins_ply(path: str, pos: np.ndarray, label: np.ndarray,
+               seed: int = 0) -> None:
+    """Colored instance dump (reference to_ins_ply, treeins.py:78-96): a
+    random uint8 RGB per instance id, ASCII PLY x/y/z/red/green/blue."""
+    label = np.asarray(label).astype(np.int64)
+    rng = np.random.default_rng(seed)
+    n_ids = max(int(label.max()) + 1 if label.size else 1, 1)
+    colors = rng.integers(0, 255, size=(n_ids, 3), dtype=np.uint8)
+    c = colors[np.maximum(label, 0)]
+    write_ply(
+        path,
+        [pos.astype(np.float32), c[:, 0], c[:, 1], c[:, 2]],
+        ["x", "y", "z", "red", "green", "blue"],
+        text=True,
+    )

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import PanopticFileDataset, collate_tiles
-from ..data.ply import write_ply
+from ..data.ply import to_eval_ply, to_ins_ply
 from ..eval.extract import extract_clusters, proposals_to_numpy
 from ..eval.merge import SceneAccumulator
 from ..eval.panoptic_quality import final_eval
@@ -90,15 +90,20 @@ class FullSceneEvaluator:
             gt_sem = raw["y"]
             gt_ins = raw["instance_labels"]
             if ply_output:
-                write_ply(
+                # reference-exporter-compatible files (ASCII, int16 preds/gt -
+                # datasets/panoptic/treeins.py:59-75; used at tracker finalise
+                # :603-607 and :665-669) + the colored instance dump (:688-693)
+                to_eval_ply(
                     osp.join(out_dir, f"Semantic_results_forEval_{fi}.ply"),
-                    [raw["pos"], sem.astype(np.int16), gt_sem.astype(np.int16)],
-                    ["x", "y", "z", "preds", "gt"],
+                    raw["pos"], sem, gt_sem,
                 )
-                write_ply(
+                to_eval_ply(
                     osp.join(out_dir, f"Instance_Results_forEval{fi}.ply"),
-                    [raw["pos"], ins.astype(np.int32), gt_ins.astype(np.int32)],
-                    ["x", "y", "z", "preds", "gt"],
+                    raw["pos"], ins, gt_ins,
+                )
+                to_ins_ply(
+                    osp.join(out_dir, f"Instance_results_withColor_{fi}.ply"),
+                    raw["pos"], ins,
                 )
             report = final_eval(
                 sem,

@@ -155,3 +155,37 @@ class TestSphereSampling:
         tiles = ds.test_tiles(0)
         cover = np.unique(np.concatenate([ids for _, ids in tiles]))
         assert len(cover) == len(ds.clouds[0]["pos"])
+
+
+class TestReferencePlyCompat:
+    def test_eval_ply_header_and_roundtrip(self, tmp_path, rng):
+        """to_eval_ply matches the reference exporter format exactly (ASCII,
+        x/y/z float + preds/gt int16 - reference datasets/panoptic/
+        treeins.py:59-75 writes via plyfile with text=True)."""
+        from panopticsegforlargescalepointcloud_tpu.data.ply import (
+            read_ply,
+            to_eval_ply,
+            to_ins_ply,
+        )
+
+        pos = rng.normal(size=(50, 3)).astype(np.float32)
+        preds = rng.integers(-1, 9, 50)
+        gt = rng.integers(-1, 9, 50)
+        p = str(tmp_path / "sem.ply")
+        to_eval_ply(p, pos, preds, gt)
+        header = open(p, "rb").read().split(b"end_header")[0].decode()
+        assert "format ascii 1.0" in header
+        for line in ["property float x", "property float y", "property float z",
+                     "property short preds", "property short gt"]:
+            assert line in header, line
+        back = read_ply(p)
+        np.testing.assert_allclose(back["x"], pos[:, 0], rtol=1e-6)
+        np.testing.assert_array_equal(back["preds"], preds.astype(np.int16))
+        np.testing.assert_array_equal(back["gt"], gt.astype(np.int16))
+
+        pc = str(tmp_path / "col.ply")
+        to_ins_ply(pc, pos, rng.integers(0, 5, 50))
+        h2 = open(pc, "rb").read().split(b"end_header")[0].decode()
+        for line in ["property uchar red", "property uchar green",
+                     "property uchar blue"]:
+            assert line in h2, line
