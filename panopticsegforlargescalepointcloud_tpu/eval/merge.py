@@ -79,33 +79,97 @@ def block_merging(
     if labeled.all():
         return all_pre_ins, max_instance
 
+    # Scene-wide per-label sizes, updated incrementally as clusters are
+    # assigned within this tile (the reference re-scans the whole scene per
+    # (cluster, old label) pair - O(clusters x labels x N); with counts the
+    # IoU is exact in O(cluster size): union = |old| + |new| - inter).
+    budget = max_instance + t_num_clusters + 2
+    label_counts = np.bincount(
+        all_pre_ins[all_pre_ins != -1], minlength=budget
+    ).astype(np.int64)
+    if len(label_counts) < budget:
+        label_counts = np.pad(label_counts, (0, budget - len(label_counts)))
+
     for ii in range(t_num_clusters):
         new_idx = tile_full_ids[pre_ins == ii]
         if new_idx.size == 0:
             continue
-        has_old = new_idx[all_pre_ins[new_idx] != -1]
-        not_old = new_idx[all_pre_ins[new_idx] == -1]
+        old_of_new = all_pre_ins[new_idx]
+        not_old = new_idx[old_of_new == -1]
+        has_old = old_of_new[old_of_new != -1]
         if has_old.size == 0:
             all_pre_ins[not_old] = max_instance + 1
             max_instance += 1
+            label_counts[max_instance] += not_old.size
         elif not_old.size == 0:
             continue
         else:
-            old_labels = np.unique(all_pre_ins[has_old])
-            best_iou, best_label = 0.0, 0
-            for g in old_labels:
-                old_all = np.where(all_pre_ins == g)[0]
-                inter = np.intersect1d(old_all, new_idx).size
-                union = np.union1d(old_all, new_idx).size
-                iou = inter / max(union, 1)
-                if iou > best_iou:
-                    best_iou, best_label = iou, g
+            inter = np.bincount(has_old, minlength=len(label_counts))
+            old_labels = np.unique(has_old)
+            ious = inter[old_labels] / np.maximum(
+                label_counts[old_labels] + new_idx.size - inter[old_labels], 1
+            )
+            best = int(np.argmax(ious))  # first max == reference's strict >
+            best_iou, best_label = float(ious[best]), int(old_labels[best])
             if best_iou > th_merge:
                 all_pre_ins[not_old] = best_label
+                label_counts[best_label] += not_old.size
             else:
                 all_pre_ins[not_old] = max_instance + 1
                 max_instance += 1
+                label_counts[max_instance] += not_old.size
     return all_pre_ins, max_instance
+
+
+def block_merging_by_score(
+    all_clusters: List[np.ndarray],
+    all_scores: Optional[np.ndarray],
+    new_clusters: List[np.ndarray],
+    new_scores: Optional[np.ndarray],
+    full_pos: np.ndarray,
+    tile_full_ids: np.ndarray,
+    tile_sub_ids: np.ndarray,
+    nms_threshold: float = 0.3,
+) -> Tuple[List[np.ndarray], Optional[np.ndarray]]:
+    """Score-ordered NMS merge - the reference's alternative merger
+    (``panoptic_tracker_pointgroup_treeins.py:493-562``; present but not
+    enabled in its pipeline, the call at :287 is commented out).
+
+    Scene state is a list of full-res clusters + scores; a new tile's
+    clusters are 1-NN-projected to full resolution, appended, and the pool is
+    pruned by greedy score-ordered NMS at IoU ``nms_threshold``. (The
+    reference computes IoU only between index-adjacent proposal pairs - an
+    artifact of its abandoned loop; here the IoU is the true pairwise one.)
+    """
+    if not new_clusters:
+        return all_clusters, all_scores
+    tree = cKDTree(full_pos[tile_sub_ids])
+    _, nn = tree.query(full_pos[tile_full_ids], k=1)
+    projected = []
+    for cl in new_clusters:
+        sel = np.isin(nn, cl)
+        projected.append(tile_full_ids[sel])
+    pool = list(all_clusters) + projected
+    if all_scores is None:
+        scores = np.asarray(new_scores, np.float64)
+    else:
+        scores = np.concatenate([np.asarray(all_scores), np.asarray(new_scores)])
+    order = np.argsort(-scores)
+    kept: List[int] = []
+    kept_sets: List[np.ndarray] = []
+    for idx in order:
+        c = pool[idx]
+        ok = True
+        for kc in kept_sets:
+            inter = np.intersect1d(c, kc, assume_unique=False).size
+            union = c.size + kc.size - inter
+            if union and inter / union > nms_threshold:
+                ok = False
+                break
+        if ok:
+            kept.append(idx)
+            kept_sets.append(c)
+    return [pool[i] for i in kept], scores[kept]
 
 
 class SceneAccumulator:

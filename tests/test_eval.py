@@ -170,3 +170,91 @@ class TestBatchInstanceMetrics:
         rec = np.array([0.5, 1.0])
         prec = np.array([1.0, 1.0])
         assert voc_ap(rec, prec) == 1.0
+
+
+class TestMergeOptimizationExact:
+    def test_label_count_merge_matches_naive(self, rng):
+        """The incremental-count IoU merge is bit-exact vs the naive
+        scene-rescan formulation of the reference's block_merging loop."""
+        from panopticsegforlargescalepointcloud_tpu.eval.merge import block_merging
+
+        def naive(full_pos, tile_full_ids, tile_sub_ids, pre_sub, all_pre, max_i, th):
+            from scipy.spatial import cKDTree
+
+            all_pre = all_pre.copy()
+            if not np.any(pre_sub != -1):
+                return all_pre, max_i
+            tree = cKDTree(full_pos[tile_sub_ids])
+            _, nn = tree.query(full_pos[tile_full_ids], k=1)
+            pre_ins = pre_sub[nn]
+            tnum = int(pre_ins.max()) + 1
+            labeled = all_pre[tile_full_ids] != -1
+            if not labeled.any():
+                mv = pre_ins != -1
+                all_pre[tile_full_ids[mv]] = pre_ins[mv] + max_i
+                return all_pre, max_i + tnum
+            if labeled.all():
+                return all_pre, max_i
+            for ii in range(tnum):
+                new_idx = tile_full_ids[pre_ins == ii]
+                if new_idx.size == 0:
+                    continue
+                has_old = new_idx[all_pre[new_idx] != -1]
+                not_old = new_idx[all_pre[new_idx] == -1]
+                if has_old.size == 0:
+                    all_pre[not_old] = max_i + 1
+                    max_i += 1
+                elif not_old.size == 0:
+                    continue
+                else:
+                    best_iou, best_label = 0.0, 0
+                    for g in np.unique(all_pre[has_old]):
+                        old_all = np.where(all_pre == g)[0]
+                        inter = np.intersect1d(old_all, new_idx).size
+                        union = np.union1d(old_all, new_idx).size
+                        iou = inter / max(union, 1)
+                        if iou > best_iou:
+                            best_iou, best_label = iou, g
+                    if best_iou > th:
+                        all_pre[not_old] = best_label
+                    else:
+                        all_pre[not_old] = max_i + 1
+                        max_i += 1
+            return all_pre, max_i
+
+        n = 3000
+        full_pos = rng.uniform(0, 20, (n, 3)).astype(np.float32)
+        all_pre = -np.ones(n, np.int64)
+        all_pre_naive = all_pre.copy()
+        max_a = max_b = 0
+        for _ in range(5):
+            sub = np.sort(rng.choice(n, 400, replace=False)).astype(np.int64)
+            tile = np.sort(rng.choice(n, 900, replace=False)).astype(np.int64)
+            pre_sub = rng.integers(-1, 6, 400)
+            a, max_a = block_merging(
+                full_pos, tile, sub, pre_sub, all_pre, max_a, 0.05
+            )
+            b, max_b = naive(
+                full_pos, tile, sub, pre_sub, all_pre_naive, max_b, 0.05
+            )
+            np.testing.assert_array_equal(a, b)
+            assert max_a == max_b
+            all_pre, all_pre_naive = a, b
+
+    def test_block_merging_by_score(self, rng):
+        from panopticsegforlargescalepointcloud_tpu.eval.merge import (
+            block_merging_by_score,
+        )
+
+        n = 1000
+        full_pos = rng.uniform(0, 10, (n, 3)).astype(np.float32)
+        sub = np.arange(0, n, 2, dtype=np.int64)
+        tile = np.arange(n, dtype=np.int64)
+        clusters = [np.arange(0, 100), np.arange(5, 105), np.arange(200, 300)]
+        scores = np.array([0.9, 0.5, 0.8])
+        kept, ks = block_merging_by_score(
+            [], None, clusters, scores, full_pos, tile, sub
+        )
+        # the 0.5-scoring near-duplicate of the 0.9 cluster is suppressed
+        assert len(kept) == 2
+        assert set(np.round(ks, 2)) == {0.9, 0.8}
