@@ -45,19 +45,25 @@ def main():
         FullSceneEvaluator,
     )
 
+    from panopticsegforlargescalepointcloud_tpu.config import explicit_overrides
+
     cfg = load_config(conf_dir, overrides, root="eval.yaml")
     ckpt_dir = cfg.get("checkpoint_dir")
     if not ckpt_dir:
         raise SystemExit("checkpoint_dir=... is required")
     ckpt = ModelCheckpoint(ckpt_dir, run_config=None)
     # Rebuild the model purely from the checkpoint's stored run config
-    # (reference ModelCheckpoint.create_model semantics) with CLI overrides on top.
+    # (reference ModelCheckpoint.create_model semantics). Only what the user
+    # explicitly typed overrides it - composed data-group DEFAULTS must not
+    # clobber the checkpoint's dataset spec (e.g. its class/num_classes).
     run_cfg = dict(ckpt.run_config) or cfg
     run_cfg.setdefault("data", {})
-    run_cfg["data"].update(cfg.get("data", {}))
+    run_cfg["data"].update(explicit_overrides(overrides).get("data", {}))
 
     backbone = str(run_cfg.get("backbone", "paper"))
-    pcfg, spec, _ = panoptic_config_from_yaml(run_cfg, backbone=backbone)
+    pcfg, spec, _ = panoptic_config_from_yaml(
+        run_cfg, backbone=backbone, **run_cfg.get("budget_overrides", {})
+    )
     pcfg = dataclasses.replace(pcfg, num_samples=1)
 
     files = run_cfg["data"].get("files", {}).get("test") or run_cfg["data"].get("fold")

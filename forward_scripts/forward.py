@@ -49,6 +49,8 @@ def main():
         FullSceneEvaluator,
     )
 
+    from panopticsegforlargescalepointcloud_tpu.config import explicit_overrides
+
     cfg = load_config(conf_dir, overrides, root="eval.yaml")
     ckpt_dir = cfg.get("checkpoint_dir")
     if not ckpt_dir:
@@ -56,10 +58,12 @@ def main():
     ckpt = ModelCheckpoint(ckpt_dir)
     run_cfg = dict(ckpt.run_config) or cfg
     run_cfg.setdefault("data", {})
-    run_cfg["data"].update(cfg.get("data", {}))
+    # only explicit CLI overrides touch the checkpoint's data config
+    run_cfg["data"].update(explicit_overrides(overrides).get("data", {}))
 
     pcfg, spec, _ = panoptic_config_from_yaml(
-        run_cfg, backbone=str(run_cfg.get("backbone", "paper"))
+        run_cfg, backbone=str(run_cfg.get("backbone", "paper")),
+        **run_cfg.get("budget_overrides", {}),
     )
     pcfg = dataclasses.replace(pcfg, num_samples=1)
     files = run_cfg["data"].get("files", {}).get("test")

@@ -161,3 +161,21 @@ def load_config(
         _set_path(cfg, k, _parse_value(v))
 
     return resolve(cfg)
+
+
+def explicit_overrides(overrides: List[str] | None) -> Dict[str, Any]:
+    """Just the CLI-passed dotted overrides as a nested dict (parsed values).
+
+    eval.py/forward.py rebuild their model from the checkpoint's embedded run
+    config; composed group DEFAULTS must not clobber it - only what the user
+    explicitly typed on the command line should override (the reference gets
+    this from hydra's sparse eval.yaml + checkpoint create_model semantics).
+    """
+    out: Dict[str, Any] = {}
+    for ov in overrides or []:
+        if "=" not in ov:
+            continue
+        k, v = ov.split("=", 1)
+        if "." in k:
+            _set_path(out, k, _parse_value(v))
+    return out

@@ -153,7 +153,12 @@ class PanopticConfig:
     nms_threshold: float = 0.3
     min_cluster_points: int = 100
     min_score: float = 0.5
-    gemm_mode: str = "fused"
+    # conv execution: "loop" = 27 column gathers + small GEMMs (wins on v5e -
+    # gather cost is per-row, so avoiding the [N,27,C] materialization beats
+    # the single wide GEMM; 259k vs 205k voxels/s/chip, PLAN.md r2);
+    # "fused" = one [N,27C]x[27C,Cout] GEMM (~6x faster to COMPILE - the right
+    # call on CPU test runs); "auto" = loop on TPU, fused elsewhere
+    gemm_mode: str = "auto"
     compute_dtype: str = "bfloat16"  # conv gather/GEMM precision (fp32 accum)
     backbone: str = "paper"  # "paper" (7 levels) | "tiny" (3 levels, CI)
     use_bricks: bool = False  # brick-dense submanifold convs (see PLAN.md)

@@ -38,7 +38,8 @@ def sparse_conv(
         will be masked out via the -1 indices anyway).
       nbr_idx: [N_out, K] int32 gather map into ``feats`` rows, -1 = absent.
       weights: [K, Cin, Cout].
-      mode: "fused" (one big GEMM) or "loop" (K GEMMs).
+      mode: "fused" (one big GEMM), "loop" (K GEMMs; faster on v5e, slower to
+        compile), or "auto" (loop on TPU, fused elsewhere).
       out_dtype: accumulation/output dtype (default: feats.dtype promoted to
         at least float32 for accumulation, cast back to feats.dtype).
 
@@ -49,6 +50,10 @@ def sparse_conv(
     n_out, k = nbr_idx.shape
     kw, cin, cout = weights.shape
     assert kw == k, f"kernel map K={k} != weights K={kw}"
+    if mode == "auto":
+        import jax
+
+        mode = "loop" if jax.default_backend() == "tpu" else "fused"
     compute_dtype = feats.dtype
     acc_dtype = jnp.promote_types(compute_dtype, jnp.float32)
     safe = jnp.maximum(nbr_idx, 0)

@@ -84,6 +84,16 @@ class Trainer:
             cfg, backbone=backbone, **budget_overrides
         )
         self.capacity = capacity
+        # run_config embedded in checkpoints must rebuild the SAME model:
+        # constructor-level knobs (backbone, capacity, budget overrides) are
+        # recorded alongside the yaml tree (reference model_checkpoint.py
+        # embeds the full run config for eval-from-checkpoint).
+        self._run_config = dict(cfg)
+        self._run_config["backbone"] = backbone
+        self._run_config["budget_overrides"] = dict(budget_overrides)
+        data_rc = dict(self._run_config.get("data", {}) or {})
+        data_rc.setdefault("voxel_capacity", capacity)
+        self._run_config["data"] = data_rc
         self.rng = np.random.default_rng(self.tcfg.seed)
 
         data_cfg = cfg.get("data", {})
@@ -202,7 +212,7 @@ class Trainer:
         if checkpoint_dir or self.tcfg.checkpoint_dir:
             self.checkpoint = ModelCheckpoint(
                 checkpoint_dir or self.tcfg.checkpoint_dir,
-                run_config=cfg,
+                run_config=self._run_config,
             )
             if "latest" in self.checkpoint._data["models"]:
                 self._load_weights("latest")

@@ -184,3 +184,36 @@ class TestFullValSplit:
         trainer.tcfg.full_val = False
         m3 = trainer.eval_epoch(epoch=1, num_batches=1)
         assert 0 <= m3["miou"] <= 1
+
+
+class TestForwardCLI:
+    def test_forward_from_trainer_checkpoint(self, trained, tmp_path, rng, monkeypatch):
+        """forward_scripts/forward.py rebuilds the exact trained model from
+        the checkpoint's run_config (incl. constructor-level budget overrides)
+        and writes a prediction PLY for an unlabeled scan."""
+        import sys as _sys
+
+        from test_data import make_forest_ply
+
+        from panopticsegforlargescalepointcloud_tpu.data.ply import read_ply, write_ply
+
+        trainer, ckpt_dir, cfg = trained
+        # unlabeled scan: positions only
+        pos = rng.uniform(0, 10, (3000, 3)).astype(np.float32)
+        scan = str(tmp_path / "scan.ply")
+        write_ply(scan, [pos], ["x", "y", "z"])
+
+        import importlib
+
+        fwd = importlib.import_module("forward_scripts.forward")
+        out_dir = str(tmp_path / "fwd")
+        monkeypatch.setattr(
+            _sys, "argv",
+            ["forward.py", f"checkpoint_dir={ckpt_dir}",
+             f"data.files.test=[{scan}]", f"out_dir={out_dir}",
+             "data.radius=5"],
+        )
+        fwd.main()
+        out = read_ply(os.path.join(out_dir, "scan_pred.ply"))
+        assert len(out["pred_sem"]) == 3000
+        assert set(np.unique(out["pred_sem"])) <= set(range(9))
