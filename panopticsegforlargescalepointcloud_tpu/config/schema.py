@@ -56,6 +56,9 @@ class TrainingConfig:
     # reference's _test_epoch walks the whole val loader, trainer.py:233-276);
     # False = quick eval on random val-style tiles
     full_val: bool = True
+    # async input-pipeline threads (reference DataLoader num_workers,
+    # base_dataset.py:252-262); 0 = synchronous sampling
+    num_workers: int = 2
 
 
 def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
@@ -91,6 +94,7 @@ def training_config_from_yaml(cfg: Dict[str, Any]) -> TrainingConfig:
         checkpoint_dir=str(t.get("checkpoint_dir", "")),
         num_devices=int(t.get("num_devices", 1)),
         full_val=bool(t.get("full_val", True)),
+        num_workers=int(t.get("num_workers", 2)),
     )
 
 

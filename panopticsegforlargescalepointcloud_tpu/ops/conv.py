@@ -53,7 +53,12 @@ def sparse_conv(
     if mode == "auto":
         import jax
 
-        mode = "loop" if jax.default_backend() == "tpu" else "fused"
+        # loop wins for big row counts (gather cost is per-row; skipping the
+        # [N,27,C] materialization dominates); below ~16k rows its 27 separate
+        # gather+GEMM ops are dispatch-overhead-bound and fused wins. CPU
+        # always takes fused (loop compiles ~6x slower).
+        big = n_out >= 16384
+        mode = "loop" if (big and jax.default_backend() == "tpu") else "fused"
     compute_dtype = feats.dtype
     acc_dtype = jnp.promote_types(compute_dtype, jnp.float32)
     safe = jnp.maximum(nbr_idx, 0)

@@ -65,18 +65,24 @@ class Hierarchy(NamedTuple):
         return len(self.grids)
 
 
-def default_capacities(n0: int, num_down: int, floor: int = 2048) -> Tuple[int, ...]:
-    """Capacity schedule tuned on NPM3D-scale cylinder batches (measured
-    occupancy 0.58/0.16/0.042/... of N at L1/L2/L3): [n0, 3n0/4, 3n0/8, ...]
-    with a floor. Every sort/lookup/conv cost scales with these caps; the
-    ``overflow`` counters flag scenes that exceed them (raise via the
-    ``capacities`` argument if that happens).
-    """
+# Measured occupancy on NPM3D-scale cylinder batches decays ~3.5x per
+# stride-2 level (131072 -> 75517 -> 21435 -> 5548 -> 1559 -> 449 -> 168,
+# scripts/profile_levels.py); the schedule below keeps ~2x headroom over
+# that. Every sort/lookup/conv cost scales linearly with these caps (the r1
+# halving schedule left L3-L6 4-18x over-provisioned = ~50 ms of dead conv
+# work per forward).
+_CAP_RATIOS = (1.0, 0.75, 0.32, 0.105, 0.04, 0.016, 0.008, 0.004, 0.002)
+
+
+def default_capacities(n0: int, num_down: int, floor: int = 1024) -> Tuple[int, ...]:
+    """Occupancy-matched capacity schedule (~2x headroom over measured level
+    occupancy, rounded up to 512). The ``overflow`` counters flag scenes that
+    exceed it - raise via the ``capacities`` argument if that happens."""
     caps = [n0]
-    c = (3 * n0) // 4
     for level in range(1, num_down + 1):
-        caps.append(max(c, min(floor, n0)))
-        c //= 2
+        r = _CAP_RATIOS[min(level, len(_CAP_RATIOS) - 1)]
+        c = -(-int(n0 * r) // 512) * 512  # round up to 512
+        caps.append(max(min(c, n0), min(floor, n0)))
     return tuple(caps)
 
 

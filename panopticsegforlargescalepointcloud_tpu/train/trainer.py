@@ -207,6 +207,18 @@ class Trainer:
             if viz_cfg.get("activate", False)
             else None
         )
+        # async input pipeline (reference DataLoader workers,
+        # base_dataset.py:252-262); 0 workers = synchronous
+        self._prefetcher = None
+        if self.tcfg.num_workers > 0:
+            from ..data.prefetch import BatchPrefetcher
+
+            self._prefetcher = BatchPrefetcher(
+                self._make_batch,
+                seed=self.tcfg.seed,
+                num_workers=self.tcfg.num_workers,
+                prefetch=max(2 * self.tcfg.num_workers, 4),
+            )
         self.start_epoch = 1
         self.checkpoint = None
         if checkpoint_dir or self.tcfg.checkpoint_dir:
@@ -248,23 +260,29 @@ class Trainer:
             )
 
     # ------------------------------------------------------------------
-    def _collate_one_device(self):
+    def _collate_one_device(self, rng=None):
+        rng = rng if rng is not None else self.rng
         tiles = [
-            self.dataset.sample_train_tile(self.rng)
+            self.dataset.sample_train_tile(rng)
             for _ in range(self.tcfg.batch_size)
         ]
         return collate_tiles(
             tiles, capacity=self.capacity, num_tiles=self.tcfg.batch_size
         )
 
-    def _next_batch(self):
+    def _make_batch(self, rng):
         if self.mesh is None:
-            return self._collate_one_device()
+            return self._collate_one_device(rng)
         from ..data import stack_device_batches
 
         return stack_device_batches(
-            [self._collate_one_device() for _ in range(self.num_devices)]
+            [self._collate_one_device(rng) for _ in range(self.num_devices)]
         )
+
+    def _next_batch(self):
+        if self._prefetcher is not None:
+            return next(self._prefetcher)
+        return self._make_batch(self.rng)
 
     def train(self, epochs: Optional[int] = None, batches_per_epoch: Optional[int] = None):
         epochs = epochs or self.tcfg.epochs
