@@ -7,9 +7,14 @@ queries at ``core/spatial_ops/neighbour_finder.py:35-37`` and
 
 Strategy: bin points into cubic cells of side ``radius`` using the same
 packed-key + sort machinery as the sparse grids; every point scans the 27
-adjacent cells, up to ``cell_cap`` points per cell (CSR-style: cell start
-found by binary search in the sorted cell keys). Candidates within the radius
-are compacted to the K nearest with ``top_k``. All shapes static.
+adjacent cells, up to ``cell_cap`` points per cell (CSR-style: cell starts
+found by a single co-sort, see :func:`run_starts` - per-query binary search
+profiled ~6x slower on v5e, cf. ``ops/hashing.lookup``). Candidates within
+the radius are compacted to the K nearest with ``top_k``. All shapes static.
+
+Cells are shifted by the global minimum before packing, so absolute input
+frames fit the bit budget as long as the *extent* per sample stays within
+``2^bits`` cells (~92 m at r=0.18 with the default 9-bit axes).
 """
 
 from __future__ import annotations
@@ -26,6 +31,58 @@ _CELL_OFFSETS = np.stack(
     np.meshgrid(*([np.arange(-1, 2)] * 3), indexing="ij"), axis=-1
 ).reshape(-1, 3).astype(np.int32)
 
+# The 13 offsets lexicographically greater than (0,0,0): each undirected
+# adjacent-cell pair is visited from exactly one side (the other direction is
+# recovered by the reverse-edge pass in radius_graph).
+_HALF_OFFSETS = np.array(
+    [o for o in _CELL_OFFSETS.tolist() if tuple(o) > (0, 0, 0)], np.int32
+)
+
+# Default cell-key layout: 9 bits per axis (512-cell extents) leaves 5 bits =
+# 31 distinct batch/fold ids. The old (10,10,10) default left only TWO batch
+# bits, silently dropping sample ids >= 3 from clustering in 4-tile batches.
+DEFAULT_CELL_BITS = BitLayout(9, 9, 9)
+
+
+def run_starts(sorted_keys: jnp.ndarray, query_keys: jnp.ndarray) -> jnp.ndarray:
+    """``searchsorted(sorted_keys, q, side="left")`` via one co-sort.
+
+    Queries are concatenated *before* the table so a stable argsort places
+    each query ahead of equal-keyed table rows; a suffix-min over table row
+    tags then yields, for every query, the first table index with
+    ``key >= q``. One XLA sort instead of per-query binary-search gathers
+    (the same trade as ``ops/hashing.lookup``; scans profiled ~6x slower).
+
+    Returns int32 of query_keys' shape; ``len(sorted_keys)`` when no table
+    key is >= the query.
+    """
+    n = sorted_keys.shape[0]
+    shape = query_keys.shape
+    q = query_keys.reshape(-1)
+    m = q.shape[0]
+    all_keys = jnp.concatenate([q, sorted_keys])
+    tag = jnp.concatenate(
+        [jnp.full((m,), -1, jnp.int32), jnp.arange(n, dtype=jnp.int32)]
+    )
+    order = jnp.argsort(all_keys, stable=True)
+    stags = tag[order]
+    table_pos = jnp.where(stags >= 0, stags, n)
+    nxt = jnp.flip(jax.lax.cummin(jnp.flip(table_pos)))
+    res = jnp.zeros((m + n,), jnp.int32).at[order].set(nxt)
+    return res[:m].reshape(shape)
+
+
+def _shifted_cells(pos, valid, radius, bits: BitLayout):
+    """Cell coords shifted so the global (valid) minimum packs to 0, using the
+    full 2^b unsigned range per axis."""
+    cell = jnp.floor(pos * (1.0 / radius)).astype(jnp.int32)
+    big = jnp.int32(1 << 24)
+    cmin = jnp.min(jnp.where(valid[:, None], cell, big), axis=0)
+    half = jnp.array(
+        [1 << (bits.bx - 1), 1 << (bits.by - 1), 1 << (bits.bz - 1)], jnp.int32
+    )
+    return cell - cmin - half
+
 
 def radius_neighbors(
     pos: jnp.ndarray,
@@ -34,7 +91,7 @@ def radius_neighbors(
     radius: float,
     k: int = 32,
     cell_cap: int = 16,
-    bits: BitLayout = BitLayout(10, 10, 10),
+    bits: BitLayout = DEFAULT_CELL_BITS,
     include_self: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """K nearest neighbors within ``radius`` (same batch sample only).
@@ -52,13 +109,12 @@ def radius_neighbors(
       (nbr_idx [N, k] int32 with -1 padding, nbr_dist2 [N, k] f32)
     """
     n = pos.shape[0]
-    inv_r = 1.0 / radius
-    cell = jnp.floor(pos * inv_r).astype(jnp.int32)
+    cell = _shifted_cells(pos, valid, radius, bits)
     keys = pack_coords(batch, cell, bits, extra_invalid=jnp.logical_not(valid))
     order = jnp.argsort(keys)
     skeys = keys[order]
+    pos_s = jnp.take(pos, order, axis=0)  # gather once; candidates index pos_s
 
-    # candidate slots: for each of 27 cells, cell_cap consecutive sorted rows
     offs = jnp.asarray(_CELL_OFFSETS)
     q_cells = cell[:, None, :] + offs[None, :, :]  # [N, 27, 3]
     q_batch = jnp.broadcast_to(batch[:, None], (n, 27))
@@ -67,28 +123,30 @@ def radius_neighbors(
         q_batch.reshape(-1), q_cells.reshape(-1, 3), bits,
         extra_invalid=inv_mask.reshape(-1),
     ).reshape(n, 27)
-    start = jnp.searchsorted(skeys, q_keys, side="left").astype(jnp.int32)  # [N, 27]
+    start = run_starts(skeys, q_keys)  # [N, 27]
 
     slot = jnp.arange(cell_cap, dtype=jnp.int32)
     cand_sorted_pos = start[:, :, None] + slot[None, None, :]  # [N, 27, cap]
     cand_sorted_pos = jnp.minimum(cand_sorted_pos, n - 1)
     in_cell = jnp.take(skeys, cand_sorted_pos) == q_keys[:, :, None]
-    cand_idx = jnp.take(order, cand_sorted_pos)  # [N, 27, cap] original rows
 
-    d = pos[:, None, None, :] - jnp.take(pos, cand_idx, axis=0)
+    d = pos[:, None, None, :] - jnp.take(pos_s, cand_sorted_pos, axis=0)
     dist2 = jnp.sum(d * d, axis=-1)  # [N, 27, cap]
     ok = in_cell & (dist2 <= radius * radius) & (q_keys[:, :, None] != INVALID_KEY)
-    if not include_self:
-        ok = ok & (cand_idx != jnp.arange(n, dtype=jnp.int32)[:, None, None])
 
     m = 27 * cell_cap
     dist2 = jnp.where(ok, dist2, jnp.inf).reshape(n, m)
-    cand_idx = jnp.where(ok, cand_idx, -1).reshape(n, m)
+    cand_sorted = jnp.where(ok, cand_sorted_pos, 0).reshape(n, m)
     kk = min(k, m)
     neg, sel = jax.lax.top_k(-dist2, kk)  # nearest first
-    nbr_idx = jnp.take_along_axis(cand_idx, sel, axis=1)
+    sel_sorted = jnp.take_along_axis(cand_sorted, sel, axis=1)
+    nbr_idx = jnp.take(order, sel_sorted)  # map back to original rows ([N, kk])
     nbr_dist2 = -neg
     nbr_idx = jnp.where(jnp.isfinite(nbr_dist2), nbr_idx, -1)
+    if not include_self:
+        self_hit = nbr_idx == jnp.arange(n, dtype=jnp.int32)[:, None]
+        nbr_idx = jnp.where(self_hit, -1, nbr_idx)
+        nbr_dist2 = jnp.where(self_hit, jnp.inf, nbr_dist2)
     if kk < k:
         pad = k - kk
         nbr_idx = jnp.concatenate(
@@ -98,3 +156,105 @@ def radius_neighbors(
             [nbr_dist2, jnp.full((n, pad), jnp.inf, nbr_dist2.dtype)], axis=1
         )
     return nbr_idx, nbr_dist2
+
+
+def radius_graph(
+    pos: jnp.ndarray,
+    ids: jnp.ndarray,
+    valid: jnp.ndarray,
+    radius: float,
+    k: int = 32,
+    cell_cap: int = 16,
+    bits: BitLayout = DEFAULT_CELL_BITS,
+    with_reverse: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetrized radius-graph adjacency for connectivity (region growing).
+
+    Cheaper than :func:`radius_neighbors` by construction:
+
+    * **half stencil** - each undirected pair is found once, from the
+      lexicographically-lower cell (13 offsets + the own-cell "later in sort
+      order" rule), halving candidate gathers and distance checks;
+    * **ids, not batch** - callers fold whatever must match into one id
+      (e.g. ``batch * C + class``), so candidate slots are never wasted on
+      rows a post-filter would drop;
+    * **one reverse-edge co-sort** replaces per-iteration scatter pushes in
+      the propagation loop: the forward edges are sorted by destination
+      together with one sentinel query per row, giving each row's in-edges
+      as a contiguous run (cap k).
+
+    Returns (fwd [N, k], rev [N, k]) int32 row indices, -1 padding. The union
+    fwd ∪ rev contains every in-radius same-id edge at least once in each
+    direction (up to the k / cell_cap budgets).
+    """
+    n = pos.shape[0]
+    cell = _shifted_cells(pos, valid, radius, bits)
+    keys = pack_coords(ids, cell, bits, extra_invalid=jnp.logical_not(valid))
+    order = jnp.argsort(keys)
+    skeys = keys[order]
+    pos_s = jnp.take(pos, order, axis=0)
+    sorted_pos_of = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32)
+    )
+
+    offs = jnp.asarray(_HALF_OFFSETS)  # [13, 3]
+    q_cells = cell[:, None, :] + offs[None, :, :]
+    q_ids = jnp.broadcast_to(ids[:, None], (n, 13))
+    inv_mask = jnp.broadcast_to(jnp.logical_not(valid)[:, None], (n, 13))
+    q_keys = pack_coords(
+        q_ids.reshape(-1), q_cells.reshape(-1, 3), bits,
+        extra_invalid=inv_mask.reshape(-1),
+    ).reshape(n, 13)
+    start13 = run_starts(skeys, q_keys)
+    # own cell: only rows strictly after me in sort order (dedups in-cell pairs)
+    start = jnp.concatenate([start13, (sorted_pos_of + 1)[:, None]], axis=1)
+    q_keys = jnp.concatenate(
+        [q_keys, jnp.where(valid, keys, INVALID_KEY)[:, None]], axis=1
+    )  # [N, 14]
+
+    slot = jnp.arange(cell_cap, dtype=jnp.int32)
+    cand = jnp.minimum(start[:, :, None] + slot[None, None, :], n - 1)
+    in_cell = jnp.take(skeys, cand) == q_keys[:, :, None]
+    d = pos[:, None, None, :] - jnp.take(pos_s, cand, axis=0)
+    dist2 = jnp.sum(d * d, axis=-1)
+    ok = in_cell & (dist2 <= radius * radius) & (q_keys[:, :, None] != INVALID_KEY)
+
+    m = 14 * cell_cap
+    dist2 = jnp.where(ok, dist2, jnp.inf).reshape(n, m)
+    candf = jnp.where(ok, cand, 0).reshape(n, m)
+    kk = min(k, m)
+    neg, sel = jax.lax.top_k(-dist2, kk)
+    sel_sorted = jnp.take_along_axis(candf, sel, axis=1)
+    fwd = jnp.take(order, sel_sorted)
+    fwd = jnp.where(jnp.isfinite(-neg), fwd, -1)  # [N, kk]
+
+    if not with_reverse:  # profiling/one-directional uses
+        if kk < k:
+            fwd = jnp.concatenate(
+                [fwd, jnp.full((n, k - kk), -1, jnp.int32)], axis=1
+            )
+        return fwd, jnp.full((n, k), -1, jnp.int32)
+
+    # Reverse edges: stable-argsort the forward destinations; each dst's
+    # in-edges form a contiguous run, and because the flattened [N, kk] edge
+    # array is row-major, the source of sorted slot p is simply order[p]//kk -
+    # no second key or 64-bit packing needed. Run starts come from one
+    # scatter-min of positions (slots past a run fail the dst-equality check,
+    # so rows with no in-edges are naturally all -1).
+    nkk = n * kk
+    dstf = jnp.where(fwd >= 0, fwd, n).reshape(-1)  # [N*kk], n = padding
+    sorder = jnp.argsort(dstf, stable=True)
+    dst_sorted = jnp.take(dstf, sorder)
+    src_sorted = (sorder // kk).astype(jnp.int32)
+    starts = jnp.full((n + 1,), nkk, jnp.int32).at[dst_sorted].min(
+        jnp.arange(nkk, dtype=jnp.int32)
+    )
+    rslot = jnp.arange(k, dtype=jnp.int32)
+    rcand = jnp.minimum(starts[:n, None] + rslot[None, :], nkk - 1)
+    rok = jnp.take(dst_sorted, rcand) == jnp.arange(n, dtype=jnp.int32)[:, None]
+    rev = jnp.where(rok, jnp.take(src_sorted, rcand), -1)
+    if kk < k:
+        fwd = jnp.concatenate(
+            [fwd, jnp.full((n, k - kk), -1, jnp.int32)], axis=1
+        )
+    return fwd, rev

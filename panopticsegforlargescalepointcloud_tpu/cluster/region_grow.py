@@ -7,23 +7,27 @@ with radius = 1.5*grid_size, nsample=200, min_cluster_size=10): clusters are
 the connected components of the radius graph restricted to points sharing the
 same predicted (non-stuff) semantic class within the same sample.
 
-TPU formulation: build a K-capped radius neighbor list once, then iterate
-min-label propagation (pull from neighbors + push via scatter-min to
-symmetrize capped edges + one pointer-jump for path compression) inside a
-``lax.while_loop`` until fixpoint. Components converge in O(log diameter)
-iterations with the pointer jump. Finally compact representative labels to
-dense proposal ids and drop components smaller than ``min_cluster_size``.
+TPU formulation: build a *symmetrized* radius-graph adjacency once
+(:func:`..cluster.neighbors.radius_graph`: half-stencil candidate scan + one
+reverse-edge co-sort), folding ``batch * C + class`` into the cell key so the
+same-class/same-sample constraint is free, then iterate pull-only min-label
+propagation with pointer jumping inside a ``lax.while_loop`` until fixpoint
+(~9 iterations on real tiles; no per-iteration scatters - the v5e profile
+showed scatter pushes dominating the loop). Finally compact representative
+labels to dense proposal ids and drop components smaller than
+``min_cluster_size``.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
+from ..ops.hashing import BitLayout
 from ..ops.scatter import segment_sum
-from .neighbors import radius_neighbors
+from .neighbors import DEFAULT_CELL_BITS, radius_graph
 
 
 class RegionGrowResult(NamedTuple):
@@ -31,6 +35,19 @@ class RegionGrowResult(NamedTuple):
     prop_valid: jnp.ndarray  # [P] bool
     prop_batch: jnp.ndarray  # [P] int32 (-1 pad)
     num_props: jnp.ndarray  # [] int32 (pre-capacity-clip count)
+
+
+def _fold_bits(num_ids: int) -> BitLayout:
+    """Cell-key layout giving the id field enough bits for ``num_ids`` folded
+    (batch*C + class) values, splitting the rest across x/y/z (x widest)."""
+    bb = 1
+    while (1 << bb) - 1 <= num_ids:
+        bb += 1
+    rem = 32 - bb
+    bz = rem // 3
+    by = (rem - bz) // 2
+    bx = rem - bz - by
+    return BitLayout(bx, by, bz)
 
 
 def region_grow(
@@ -60,38 +77,90 @@ def region_grow(
       k_neighbors / cell_cap: neighbor-search budgets.
       max_iters: propagation bound (fixpoint usually earlier).
 
+    When the caller statically knows ``num_classes``/``num_samples`` (model
+    configs do), prefer :func:`region_grow_folded` - it folds the class into
+    the cell key, wasting no candidate slots on cross-class points.
+
     Returns:
       RegionGrowResult with per-point proposal ids in [0, P).
     """
-    n = pos.shape[0]
-    nbr_idx, _ = radius_neighbors(
-        pos, batch, grow_mask, radius, k=k_neighbors, cell_cap=cell_cap
+    fwd, rev = radius_graph(
+        pos, batch, grow_mask, radius, k=k_neighbors, cell_cap=cell_cap,
+        bits=DEFAULT_CELL_BITS,
     )
-    # Keep only same-class edges between eligible points.
-    safe = jnp.maximum(nbr_idx, 0)
-    same_class = jnp.take(sem_class, safe) == sem_class[:, None]
-    nbr_ok = (nbr_idx >= 0) & same_class & jnp.take(grow_mask, safe)
-    nbr_ok = nbr_ok & grow_mask[:, None]
-    nbr = jnp.where(nbr_ok, nbr_idx, -1)
+    # post-hoc same-class filter on both edge directions
+    def filt(e):
+        safe = jnp.maximum(e, 0)
+        ok = (e >= 0) & (jnp.take(sem_class, safe) == sem_class[:, None])
+        return jnp.where(ok, e, -1)
 
+    return _grow_on_edges(
+        filt(fwd), filt(rev), batch, grow_mask, max_proposals,
+        min_cluster_size, max_iters,
+    )
+
+
+def region_grow_folded(
+    pos: jnp.ndarray,
+    sem_class: jnp.ndarray,
+    batch: jnp.ndarray,
+    grow_mask: jnp.ndarray,
+    radius: float,
+    max_proposals: int,
+    num_classes: int,
+    num_samples: int,
+    min_cluster_size: int = 10,
+    k_neighbors: int = 32,
+    cell_cap: int = 16,
+    max_iters: int = 64,
+) -> RegionGrowResult:
+    """:func:`region_grow` with the class folded into the cell key (static
+    ``num_classes`` / ``num_samples`` known from the model config): candidate
+    slots only ever hold same-sample same-class points, so no edge budget is
+    wasted and no post-filter pass is needed."""
+    ids = batch * jnp.int32(num_classes) + sem_class
+    bits = _fold_bits(num_samples * num_classes)
+    fwd, rev = radius_graph(
+        pos, ids, grow_mask, radius, k=k_neighbors, cell_cap=cell_cap, bits=bits
+    )
+    return _grow_on_edges(
+        fwd, rev, batch, grow_mask, max_proposals, min_cluster_size, max_iters
+    )
+
+
+def _grow_on_edges(
+    fwd: jnp.ndarray,
+    rev: jnp.ndarray,
+    batch: jnp.ndarray,
+    grow_mask: jnp.ndarray,
+    max_proposals: int,
+    min_cluster_size: int,
+    max_iters: int,
+) -> RegionGrowResult:
+    """Connected components by pull-only min-label propagation over a
+    symmetrized adjacency, then size filtering + dense id compaction."""
+    n = fwd.shape[0]
+    adj = jnp.concatenate([fwd, rev], axis=1)  # [N, kf+kr]
+    safe_adj = jnp.maximum(adj, 0)
     init_labels = jnp.where(grow_mask, jnp.arange(n, dtype=jnp.int32), n)
+
+    def pull(labels):
+        nbr_labels = jnp.where(adj >= 0, jnp.take(labels, safe_adj), n)
+        new = jnp.minimum(labels, jnp.min(nbr_labels, axis=1))
+        # pointer jumps (path compression: label <- label of label); [N]
+        # gathers are ~32x cheaper than the adjacency pull, and each jump
+        # shortens chains geometrically
+        for _ in range(3):
+            new = jnp.minimum(
+                new, jnp.take(jnp.append(new, n), jnp.minimum(new, n))
+            )
+        return jnp.where(grow_mask, new, n)
 
     def body(state):
         labels, _, it = state
-        safe_nbr = jnp.maximum(nbr, 0)
-        nbr_labels = jnp.where(nbr >= 0, jnp.take(labels, safe_nbr), n)
-        pulled = jnp.minimum(labels, jnp.min(nbr_labels, axis=1))
-        # push: scatter my (pulled) label into my neighbors to cover edges the
-        # K/cell caps made one-directional
-        pushed = jnp.full((n + 1,), n, dtype=jnp.int32)
-        idx = jnp.where(nbr >= 0, nbr, n)
-        pushed = pushed.at[idx.reshape(-1)].min(
-            jnp.broadcast_to(pulled[:, None], nbr.shape).reshape(-1)
-        )
-        new = jnp.minimum(pulled, pushed[:n])
-        # pointer jump (path compression)
-        new = jnp.minimum(new, jnp.take(jnp.append(new, n), jnp.minimum(new, n)))
-        new = jnp.where(grow_mask, new, n)
+        # two pulls per while iteration: the loop-carry/convergence-check
+        # overhead is a large fraction of one pull's cost on v5e
+        new = pull(pull(labels))
         changed = jnp.any(new != labels)
         return new, changed, it + 1
 

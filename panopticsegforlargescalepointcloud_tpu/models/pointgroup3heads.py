@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from ..cluster.hdbscan import hdbscan_labels
 from ..cluster.meanshift import mean_shift, pack_by_sample
-from ..cluster.region_grow import region_grow
+from ..cluster.region_grow import region_grow_folded
 from ..ops.hashing import BitLayout
 from ..ops.hierarchy import Hierarchy, build_hierarchy
 from ..ops.scatter import segment_max, segment_min
@@ -137,8 +137,15 @@ class PanopticConfig:
     ms_max_clusters: int = 32  # per sample
     ms_point_cap: int = 16384  # thing points per sample fed to mean-shift
     scorer_capacity_mult: float = 1.0  # scorer grid rows per membership row
-    rg_k_neighbors: int = 32
-    rg_cell_cap: int = 16
+    # 16 fwd + 16 reverse edges per point: connectivity only needs each
+    # in-radius pair covered once (the symmetric union does), and the loop's
+    # per-iteration gather is adjacency-width-bound (v5e profile)
+    rg_k_neighbors: int = 16
+    # candidate scan budget per cell: cells have side = cluster_radius, so a
+    # voxel grid averages ~3.4 occupants/cell; 8 gives 2.3x headroom while
+    # halving candidate gathers + top_k width vs 16 (truncation only trims
+    # edges of over-dense cells - components stay connected)
+    rg_cell_cap: int = 8
     min_cluster_size: int = 10
     # HDBSCAN-style density grouping (embed family; reference hyperparams
     # hdbscan_cluster.py:9)
@@ -418,10 +425,12 @@ def _embed_proposals(
 
     for method, space, loops, low, high in cfg.embed_ops:
         if method == "rg":
-            rg = region_grow(
+            rg = region_grow_folded(
                 pos, pred, batch, thing,
                 radius=cfg.cluster_radius,
                 max_proposals=cfg.max_props_rg,
+                num_classes=cfg.num_classes,
+                num_samples=cfg.num_samples,
                 min_cluster_size=cfg.min_cluster_size,
                 k_neighbors=cfg.rg_k_neighbors,
                 cell_cap=cfg.rg_cell_cap,
@@ -534,13 +543,15 @@ def build_proposals(
 
     for src in cfg.rg_sources:
         grow_pos = pos + offsets if src == "vote" else pos
-        rg = region_grow(
+        rg = region_grow_folded(
             grow_pos,
             pred,
             batch,
             thing,
             radius=cfg.cluster_radius,
             max_proposals=cfg.max_props_rg,
+            num_classes=cfg.num_classes,
+            num_samples=cfg.num_samples,
             min_cluster_size=cfg.min_cluster_size,
             k_neighbors=cfg.rg_k_neighbors,
             cell_cap=cfg.rg_cell_cap,
@@ -622,7 +633,11 @@ def scorer_inputs(
     overflow scalar int32).
     """
     bits = cfg.scorer_layout
-    m = props.budget
+    # scorer grid rows: one per unique (proposal, voxel) pair; real occupancy
+    # is well under the membership-row budget, so cfg.scorer_capacity_mult
+    # shrinks the grid (and the ScoreNet conv work on it); drops are counted
+    # into ``overflow``
+    m = int(props.budget * cfg.scorer_capacity_mult)
     ok = props.member_valid & (props.prop_id >= 0)
     pt = jnp.maximum(props.point_idx, 0)
     seg = jnp.where(ok, props.prop_id, -1)
@@ -642,7 +657,11 @@ def scorer_inputs(
     )
     in_budget = jnp.all((rel >= -half) & (rel < half), axis=-1)
     overflow = jnp.sum((ok & ~in_budget).astype(jnp.int32))
-    grid, inverse = make_grid(seg, rel, ok, bits=bits)
+    grid, inverse = make_grid(seg, rel, ok, bits=bits, capacity=m)
+    # members whose unique voxel fell past the grid capacity
+    overflow = overflow + jnp.sum(
+        (ok & in_budget & (inverse < 0)).astype(jnp.int32)
+    )
     feats = jnp.take(backbone_feats, pt, axis=0)
     sf = jnp.zeros((m, backbone_feats.shape[1]), backbone_feats.dtype)
     sf = sf.at[jnp.where(ok & (inverse >= 0), inverse, m)].set(feats, mode="drop")

@@ -90,6 +90,7 @@ def make_grid(
     mask: jnp.ndarray,
     bits: BitLayout = DEFAULT_BITS,
     dedup: bool = True,
+    capacity: int | None = None,
 ) -> Tuple[SparseGrid, jnp.ndarray]:
     """Build a canonical SparseGrid from (possibly unsorted, possibly
     duplicated) voxel coordinates.
@@ -97,6 +98,11 @@ def make_grid(
     Duplicates (same packed key) are merged when ``dedup``; the returned
     ``inverse`` maps each input row to its grid row (-1 for invalid inputs),
     which callers use to pool point features into voxels.
+
+    ``capacity`` (dedup only) sizes the output grid below the input row count
+    when the caller knows uniques are far fewer (e.g. the ScoreNet grid);
+    uniques past it are dropped (their inverse is -1 - count those rows to
+    surface overflow).
 
     Returns:
       (grid, inverse [N_in] int32)
@@ -112,14 +118,22 @@ def make_grid(
         # Position of each sorted row's representative among the uniques.
         uidx = jnp.cumsum(first.astype(jnp.int32)) - 1
         n = keys.shape[0]
-        out_keys = jnp.full((n,), INVALID_KEY, dtype=jnp.uint32)
-        out_keys = out_keys.at[jnp.where(first, uidx, n)].set(skeys, mode="drop")
-        out_batch = jnp.full((n,), -1, dtype=jnp.int32)
-        out_batch = out_batch.at[jnp.where(first, uidx, n)].set(batch[order], mode="drop")
-        out_coords = jnp.zeros((n, 3), dtype=jnp.int32)
-        out_coords = out_coords.at[jnp.where(first, uidx, n)].set(coords[order], mode="drop")
+        m = n if capacity is None else int(capacity)
+        uidx = jnp.where(uidx < m, uidx, -1)
+        out_keys = jnp.full((m,), INVALID_KEY, dtype=jnp.uint32)
+        out_keys = out_keys.at[jnp.where(first & (uidx >= 0), uidx, m)].set(
+            skeys, mode="drop"
+        )
+        out_batch = jnp.full((m,), -1, dtype=jnp.int32)
+        out_batch = out_batch.at[jnp.where(first & (uidx >= 0), uidx, m)].set(
+            batch[order], mode="drop"
+        )
+        out_coords = jnp.zeros((m, 3), dtype=jnp.int32)
+        out_coords = out_coords.at[jnp.where(first & (uidx >= 0), uidx, m)].set(
+            coords[order], mode="drop"
+        )
         out_mask = out_keys != INVALID_KEY
-        # inverse: input row -> unique row.
+        # inverse: input row -> unique row (-1 for invalid or past capacity).
         inv_sorted = jnp.where(skeys != INVALID_KEY, uidx, -1)
         inverse = jnp.zeros((n,), dtype=jnp.int32).at[order].set(inv_sorted)
         grid = SparseGrid(out_coords, out_batch, out_keys, out_mask)

@@ -118,7 +118,23 @@ def main():
         grid, shier, sf, inverse, ov = scorer_inputs(
             cfg, props0, db.grid.coords, feats16 + 1e-30 * x[:, :1]
         )
-        s = jnp.sum(sf)
+        # consume the hierarchy too (sum of masks) so it isn't DCE'd
+        s = jnp.sum(sf) + sum(
+            jnp.sum(g.mask.astype(jnp.float32)) for g in shier.grids
+        )
+        return x + 1e-30 * s.astype(x.dtype), s
+
+    @jax.jit
+    def f_score_net(x):
+        grid, shier, sf, inverse, ov = scorer_inputs(
+            cfg, props0, db.grid.coords, feats16 + 1e-30 * x[:, :1]
+        )
+        scores, _ = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            sf, shier, grid.batch, cfg.total_props, False, 0.1,
+            method=PointGroup3HeadsNet.score,
+        )
+        s = jnp.sum(scores)
         return x + 1e-30 * s.astype(x.dtype), s
 
     @jax.jit
@@ -143,6 +159,8 @@ def main():
     print(f"build_props:   {measure(f_props, x3):8.2f} ms")
     sys.stdout.flush()
     print(f"scorer_grid:   {measure(f_scorer_grid, x3):8.2f} ms (grid+hier, no unet)")
+    sys.stdout.flush()
+    print(f"scorer_full:   {measure(f_score_net, x3):8.2f} ms (grid+hier+unet+head)")
     sys.stdout.flush()
     print(f"full panoptic: {measure(f_full, x0):8.2f} ms")
 

@@ -11,6 +11,7 @@ from panopticsegforlargescalepointcloud_tpu.cluster import (
     mean_shift,
     radius_neighbors,
     region_grow,
+    region_grow_folded,
 )
 from panopticsegforlargescalepointcloud_tpu.cluster.meanshift import pack_by_sample
 
@@ -102,6 +103,31 @@ class TestRegionGrow:
         pb = np.asarray(res.prop_batch)
         for pid, members in got_grouped.items():
             assert all(batch[m] == pb[pid] for m in members)
+
+    def test_folded_matches_postfilter(self, rng):
+        """region_grow_folded (class in the cell key) groups identically to
+        region_grow (post-hoc class filter) when budgets don't bind."""
+        pos, batch, sem, mask, grow = self.make_scene(rng)
+        r = 0.6
+        kw = dict(radius=r, max_proposals=300, min_cluster_size=1,
+                  k_neighbors=64, cell_cap=64)
+        a = region_grow(
+            jnp.asarray(pos), jnp.asarray(sem), jnp.asarray(batch),
+            jnp.asarray(grow), **kw,
+        )
+        b = region_grow_folded(
+            jnp.asarray(pos), jnp.asarray(sem), jnp.asarray(batch),
+            jnp.asarray(grow), num_classes=3, num_samples=2, **kw,
+        )
+
+        def groups(point_prop):
+            g = {}
+            for i, p in enumerate(np.asarray(point_prop)):
+                if p >= 0:
+                    g.setdefault(int(p), set()).add(i)
+            return set(map(frozenset, g.values()))
+
+        assert groups(a.point_prop) == groups(b.point_prop)
 
 
 class TestMeanShift:
