@@ -88,3 +88,115 @@ def augment_tile(pos: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     pos = random_scale_anisotropic(pos, rng)
     pos = random_symmetry(pos, rng)
     return pos.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Optional transforms beyond the paper configs (the reference ships these in
+# core/data_transform; mask-returning style so callers subset every per-point
+# attribute consistently).
+
+
+def elastic_distortion(
+    pos: np.ndarray,
+    rng: np.random.Generator,
+    granularity=(0.2, 0.8),
+    magnitude=(0.4, 1.6),
+    apply_prob: float = 0.95,
+) -> np.ndarray:
+    """Smooth random displacement field sampled on a coarse lattice.
+
+    Behavioral port of the reference's ElasticDistortion
+    (``core/data_transform/grid_transform.py:335-397``): per granularity g, a
+    gaussian-noise vector lattice of cell size g is box-blurred (3-tap per
+    axis, 2 rounds), trilinearly interpolated at the points, and added scaled
+    by the paired magnitude.
+    """
+    from scipy import ndimage
+    from scipy.interpolate import RegularGridInterpolator
+
+    if rng.random() >= apply_prob:
+        return pos
+    pos = pos.astype(np.float32)
+    for g, mag in zip(granularity, magnitude):
+        pmin = pos.min(0)
+        dim = ((pos - pmin).max(0) // g).astype(int) + 3
+        noise = rng.standard_normal(size=(*dim, 3)).astype(np.float32)
+        for _ in range(2):
+            for ax in range(3):
+                shape = [1, 1, 1, 1]
+                shape[ax] = 3
+                noise = ndimage.convolve(
+                    noise, np.full(shape, 1 / 3, np.float32),
+                    mode="constant", cval=0.0,
+                )
+        axes = [
+            np.linspace(pmin[d] - g, pmin[d] + g * (dim[d] - 2), dim[d])
+            for d in range(3)
+        ]
+        interp = RegularGridInterpolator(
+            axes, noise, bounds_error=False, fill_value=0.0
+        )
+        pos = pos + interp(pos).astype(np.float32) * mag
+    return pos
+
+
+def random_dropout(
+    n: int,
+    rng: np.random.Generator,
+    dropout_ratio: float = 0.2,
+    apply_prob: float = 0.5,
+) -> np.ndarray:
+    """Keep-indices for random point dropout (reference RandomDropout,
+    ``core/data_transform/transforms.py:761-785``: keeps a random
+    ``(1-ratio)`` subset with probability ``apply_prob``)."""
+    if rng.random() >= apply_prob:
+        return np.arange(n)
+    keep = max(int(n * (1.0 - dropout_ratio)), 1)
+    return rng.choice(n, size=keep, replace=False)
+
+
+def sphere_crop(
+    pos: np.ndarray, rng: np.random.Generator, radius: float = 50.0
+) -> np.ndarray:
+    """Keep-mask for a ball of ``radius`` around a random point (reference
+    SphereCrop, ``core/data_transform/transforms.py:945-971``)."""
+    c = pos[rng.integers(0, len(pos))]
+    return np.linalg.norm(pos - c, axis=1) <= radius
+
+
+def cube_crop(
+    pos: np.ndarray,
+    rng: np.random.Generator,
+    c: float = 1.0,
+    rot_degrees: Tuple[float, float, float] = (180.0, 180.0, 180.0),
+) -> np.ndarray:
+    """Keep-mask for a randomly-rotated cube of half-size ``c`` centered on a
+    random point (reference CubeCrop,
+    ``core/data_transform/transforms.py:974-1014``: rotates the cloud about
+    the center, then keeps the axis-aligned cube)."""
+    center = pos[rng.integers(0, len(pos))]
+    rel = pos - center
+    for ax, deg in enumerate(rot_degrees):
+        a = np.deg2rad(rng.uniform(-deg, deg))
+        cs, sn = np.cos(a), np.sin(a)
+        i, j = [(1, 2), (0, 2), (0, 1)][ax]
+        rot = np.eye(3, dtype=pos.dtype)
+        rot[i, i] = cs
+        rot[i, j] = -sn
+        rot[j, i] = sn
+        rot[j, j] = cs
+        rel = rel @ rot.T
+    return np.all(np.abs(rel) < c, axis=1)
+
+
+def density_filter(
+    pos: np.ndarray, radius: float = 0.16, min_density: int = 16
+) -> np.ndarray:
+    """Keep-mask dropping low-density points (reference DensityFilter,
+    ``core/data_transform/transforms.py:1065-1096``: points with fewer than
+    ``min_density`` neighbors within ``radius`` are removed)."""
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(pos)
+    counts = tree.query_ball_point(pos, r=radius, return_length=True)
+    return np.asarray(counts) >= min_density

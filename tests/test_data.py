@@ -189,3 +189,64 @@ class TestReferencePlyCompat:
         for line in ["property uchar red", "property uchar green",
                      "property uchar blue"]:
             assert line in h2, line
+
+
+class TestLegacyTransforms:
+    """elastic/dropout/crop/density transforms (reference
+    core/data_transform/transforms.py:761-1096, grid_transform.py:335-397)."""
+
+    def test_elastic_distortion_smooth_and_bounded(self, rng):
+        from panopticsegforlargescalepointcloud_tpu.data.transforms import (
+            elastic_distortion,
+        )
+
+        pos = rng.uniform(0, 4, (2000, 3)).astype(np.float32)
+        out = elastic_distortion(pos, rng, apply_prob=1.0)
+        assert out.shape == pos.shape
+        disp = np.linalg.norm(out - pos, axis=1)
+        assert disp.max() > 0  # actually displaces
+        assert disp.max() < 4.0  # bounded by magnitudes
+        # smoothness: nearby points move together
+        d = np.linalg.norm(pos - pos[0], axis=1)
+        close = d < 0.05
+        if close.sum() > 1:
+            rel = (out[close] - pos[close]) - (out[0] - pos[0])
+            assert np.linalg.norm(rel, axis=1).max() < 0.25
+
+    def test_random_dropout(self, rng):
+        from panopticsegforlargescalepointcloud_tpu.data.transforms import (
+            random_dropout,
+        )
+
+        keep = random_dropout(1000, rng, dropout_ratio=0.3, apply_prob=1.0)
+        assert len(keep) == 700
+        assert len(np.unique(keep)) == 700
+        keep2 = random_dropout(1000, rng, dropout_ratio=0.3, apply_prob=0.0)
+        assert len(keep2) == 1000
+
+    def test_sphere_and_cube_crop(self, rng):
+        from panopticsegforlargescalepointcloud_tpu.data.transforms import (
+            cube_crop,
+            sphere_crop,
+        )
+
+        pos = rng.uniform(-10, 10, (3000, 3)).astype(np.float32)
+        m = sphere_crop(pos, rng, radius=3.0)
+        assert 0 < m.sum() < len(pos)
+        # every kept point is within radius of SOME point (the center)
+        kept = pos[m]
+        assert kept.shape[1] == 3
+        c = cube_crop(pos, rng, c=2.0)
+        assert 0 < c.sum() < len(pos)
+
+    def test_density_filter(self, rng):
+        from panopticsegforlargescalepointcloud_tpu.data.transforms import (
+            density_filter,
+        )
+
+        dense = rng.uniform(0, 0.5, (500, 3)).astype(np.float32)
+        sparse = np.array([[50.0, 50, 50], [60, 60, 60]], np.float32)
+        pos = np.concatenate([dense, sparse])
+        m = density_filter(pos, radius=0.3, min_density=5)
+        assert m[:500].all()
+        assert not m[500:].any()
