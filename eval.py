@@ -87,7 +87,21 @@ def main():
     stats = jax.tree_util.tree_map(jnp.asarray, weights["batch_stats"])
 
     capacity = int(run_cfg["data"].get("voxel_capacity", 65536))
-    evaluator = FullSceneEvaluator(pcfg, model, params, stats, dataset, capacity)
+    # num_devices=D batches one tile per device through a sharded forward
+    # (parallel/mesh.py); block merging stays host-side in tile order
+    nd = int(cfg.get("num_devices", 1))
+    mesh = None
+    if nd > 1:
+        from panopticsegforlargescalepointcloud_tpu.parallel import make_mesh
+
+        if nd > len(jax.devices()):
+            raise SystemExit(
+                f"num_devices={nd} but only {len(jax.devices())} devices"
+            )
+        mesh = make_mesh(jax.devices()[:nd])
+    evaluator = FullSceneEvaluator(
+        pcfg, model, params, stats, dataset, capacity, mesh=mesh
+    )
     out_dir = str(cfg.get("out_dir", "eval_outputs"))
     # manifest: eval index -> source file, so evaluation_stats_FOR.py can
     # group plots by forest region (reference groups by filename region tags)

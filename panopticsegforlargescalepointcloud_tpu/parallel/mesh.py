@@ -109,3 +109,61 @@ def make_parallel_train_step(
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0,))
+
+
+def make_parallel_eval_forward(
+    cfg: PanopticConfig,
+    model: PointGroup3HeadsNet,
+    mesh: Mesh,
+    axis_name: str = "data",
+):
+    """Sharded full-panoptic inference: one eval tile per device in a single
+    jitted call (clustering + ScoreNet included) - the scale-out eval story
+    (SURVEY §2.9 / BASELINE "full-scene batched inference ... across a v5e-8
+    mesh"). Params/stats stay replicated; tiles ride the data axis; there is
+    no cross-device communication - block merging happens on host in tile
+    order, so results are bit-identical to the sequential path.
+
+    Returns a jitted fn: (params, batch_stats, [D, ...] arrays) -> dict of
+    [D, ...] numpy-convertible outputs (see keys below).
+    """
+
+    def device_fwd(params, batch_stats, arrays):
+        arrays = tuple(a[0] for a in arrays)  # shard_map gives [1, ...] blocks
+        db = canonicalize(*arrays)
+        hier = build_hierarchy(
+            db.grid, cfg.num_down, use_bricks=cfg.use_bricks,
+            brick_size=cfg.brick_size, brick_capacity_factor=cfg.brick_factor,
+        )
+        out, _ = panoptic_forward(
+            cfg, model, {"params": params, "batch_stats": batch_stats},
+            db, hier, train=False, with_clustering=True,
+        )
+        scores = out.cluster_scores
+        if scores is None:
+            scores = jnp.ones((cfg.total_props,), jnp.float32)
+        p = out.proposals
+        res = dict(
+            mask=db.grid.mask,
+            origin=db.origin_id,
+            sem=out.semantic_logits,
+            point_idx=p.point_idx,
+            prop_id=p.prop_id,
+            member_valid=p.member_valid,
+            prop_valid=p.prop_valid,
+            prop_batch=p.prop_batch,
+            prop_type=p.prop_type,
+            scores=scores,
+        )
+        return {k: v[None] for k, v in res.items()}
+
+    n_arrays = 9
+    shard_specs = tuple(P(axis_name) for _ in range(n_arrays))
+    mapped = jax.shard_map(
+        device_fwd,
+        mesh=mesh,
+        in_specs=(P(), P(), shard_specs),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+    return jax.jit(mapped)

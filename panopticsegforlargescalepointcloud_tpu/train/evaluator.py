@@ -37,7 +37,12 @@ class FullSceneEvaluator:
         batch_stats,
         dataset: PanopticFileDataset,
         capacity: int = 65536,
+        mesh=None,
     ):
+        """``mesh``: optional jax.sharding.Mesh - tiles are then batched one
+        per device through a single sharded forward (parallel/mesh.py:
+        make_parallel_eval_forward); block merging stays on host in tile
+        order, so results match the sequential path bit-for-bit."""
         assert pcfg.num_samples == 1, "full-scene eval runs tiles one by one"
         self.pcfg = pcfg
         self.model = model
@@ -45,7 +50,15 @@ class FullSceneEvaluator:
         self.batch_stats = batch_stats
         self.dataset = dataset
         self.capacity = capacity
-        self._fwd = make_eval_forward(pcfg, model, with_clustering=True)
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import make_parallel_eval_forward, replicate
+
+            self._pfwd = make_parallel_eval_forward(pcfg, model, mesh)
+            self.params = replicate(mesh, self.params)
+            self.batch_stats = replicate(mesh, self.batch_stats)
+        else:
+            self._fwd = make_eval_forward(pcfg, model, with_clustering=True)
 
     def run(
         self,
@@ -80,8 +93,11 @@ class FullSceneEvaluator:
                 tiles = self.dataset.test_tiles(fi, grid_shift=vote / runs)
                 if vote == 0:
                     log.info("file %d: %d tiles x %d votes", fi, len(tiles), runs)
-                for tile, tile_full_ids in tiles:
-                    self._process_tile(acc, tile, tile_full_ids, th, remap)
+                if self.mesh is not None:
+                    self._process_tiles_mesh(acc, tiles, th, remap)
+                else:
+                    for tile, tile_full_ids in tiles:
+                        self._process_tile(acc, tile, tile_full_ids, th, remap)
             sem, ins = acc.finalise(
                 stuff_classes=self.pcfg.stuff_classes,
                 distance_cutoff=1.0,
@@ -126,25 +142,79 @@ class FullSceneEvaluator:
     def _process_tile(self, acc, tile, tile_full_ids, th, remap=None):
         vb = collate_tiles([tile], capacity=self.capacity, num_tiles=1)
         db, out = self._fwd(self.params, self.batch_stats, batch_arrays(vb))
-        mask = np.asarray(db.grid.mask)
-        origin = np.asarray(db.origin_id)
+        props_np = (
+            proposals_to_numpy(out.proposals) if out.proposals is not None else None
+        )
+        scores_np = (
+            np.asarray(out.cluster_scores)
+            if out.cluster_scores is not None
+            else None
+        )
+        self._accumulate(
+            acc,
+            np.asarray(db.grid.mask),
+            np.asarray(db.origin_id),
+            np.asarray(out.semantic_logits),
+            props_np,
+            scores_np,
+            tile_full_ids,
+            th,
+            remap,
+        )
+
+    def _process_tiles_mesh(self, acc, tiles, th, remap=None):
+        """One tile per mesh device through the sharded forward; host merge
+        runs in tile order (same results as the sequential path)."""
+        import jax.numpy as jnp
+
+        from ..parallel import shard_batch
+
+        d = int(np.prod(self.mesh.devices.shape))
+        for start in range(0, len(tiles), d):
+            group = tiles[start : start + d]
+            padded = group + [group[-1]] * (d - len(group))
+            per_tile = [
+                batch_arrays(collate_tiles([t], capacity=self.capacity, num_tiles=1))
+                for t, _ in padded
+            ]
+            stacked = tuple(
+                jnp.stack([a[i] for a in per_tile]) for i in range(len(per_tile[0]))
+            )
+            res = self._pfwd(self.params, self.batch_stats, shard_batch(self.mesh, stacked))
+            res = {k: np.asarray(v) for k, v in res.items()}
+            for di, (_, tile_full_ids) in enumerate(group):
+                props_np = dict(
+                    point_idx=res["point_idx"][di],
+                    prop_id=res["prop_id"][di],
+                    member_valid=res["member_valid"][di],
+                    prop_valid=res["prop_valid"][di],
+                    prop_batch=res["prop_batch"][di],
+                    prop_type=res["prop_type"][di],
+                )
+                self._accumulate(
+                    acc,
+                    res["mask"][di],
+                    res["origin"][di],
+                    res["sem"][di],
+                    props_np,
+                    res["scores"][di],
+                    tile_full_ids,
+                    th,
+                    remap,
+                )
+
+    def _accumulate(
+        self, acc, mask, origin, sem, props_np, scores_np, tile_full_ids, th, remap
+    ):
         if remap is not None:
             origin = remap[np.clip(origin, 0, len(remap) - 1)]
             tile_full_ids = remap[np.clip(tile_full_ids, 0, len(remap) - 1)]
-        sem = np.asarray(out.semantic_logits)
         row_to_sub = np.cumsum(mask) - 1  # canonical row -> position in valid subset
 
         clusters_rows, kept = [], []
-        scores_np = None
-        if out.proposals is not None:
-            props = proposals_to_numpy(out.proposals)
-            scores_np = (
-                np.asarray(out.cluster_scores)
-                if out.cluster_scores is not None
-                else None
-            )
+        if props_np is not None:
             clusters_rows, kept = extract_clusters(
-                props,
+                props_np,
                 scores_np,
                 len(mask),
                 nms_threshold=self.pcfg.nms_threshold,

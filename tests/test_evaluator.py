@@ -101,3 +101,44 @@ class TestFullSceneEval:
         assert r["F1"] > 0.99
         assert r["meanPQ_things"] > 0.97
         assert r["mMUCov"] > 0.97
+
+
+class TestMeshParallelEval:
+    def test_matches_sequential(self, tmp_path, rng):
+        """num_devices>1 eval (one tile per device, sharded forward) must
+        reproduce the sequential path bit-for-bit: same merge order, same
+        reports (parallel/mesh.py:make_parallel_eval_forward)."""
+        from panopticsegforlargescalepointcloud_tpu.data import collate_tiles
+        from panopticsegforlargescalepointcloud_tpu.parallel import make_mesh
+
+        ply = str(tmp_path / "forest.ply")
+        make_forest_ply(ply, rng, n_trees=4, extent=14.0)
+        ds = PanopticFileDataset(
+            TREEINS_SPEC, [ply], grid_size=0.2, radius=7.0, keep_raw=True, rng=rng
+        )
+        cfg = PanopticConfig(
+            num_classes=2, stuff_classes=(0,), backbone="tiny", feat_dim=4,
+            in_feat=8, num_samples=1, max_instances=16, max_props_rg=32,
+            ms_max_seeds=32, ms_max_clusters=8, ms_point_cap=2048,
+            cluster_radius=0.3, min_cluster_points=10,
+        )
+        model = PointGroup3HeadsNet(cfg)
+        tile = ds.sample_train_tile(rng)
+        vb = collate_tiles([tile], capacity=4096, num_tiles=1)
+        db, hier = prepare_example(batch_arrays(vb), cfg.num_down)
+        state = init_state(
+            cfg, model, optax.adam(1e-3), db, hier, jax.random.PRNGKey(0)
+        )
+
+        seq = FullSceneEvaluator(
+            cfg, model, state.params, state.batch_stats, ds, capacity=4096
+        ).run(out_dir=str(tmp_path / "seq"))
+        mesh = make_mesh(jax.devices()[:4])
+        par = FullSceneEvaluator(
+            cfg, model, state.params, state.batch_stats, ds, capacity=4096,
+            mesh=mesh,
+        ).run(out_dir=str(tmp_path / "par"))
+        assert len(seq) == len(par) == 1
+        for k, v in seq[0].items():
+            if isinstance(v, float):
+                assert par[0][k] == pytest.approx(v, abs=1e-6), k
