@@ -158,6 +158,45 @@ def radius_neighbors(
     return nbr_idx, nbr_dist2
 
 
+def cell_seed_labels(
+    pos: jnp.ndarray,
+    ids: jnp.ndarray,
+    valid: jnp.ndarray,
+    radius: float,
+    bits: BitLayout,
+) -> jnp.ndarray:
+    """Initial union-find labels that pre-merge provably-connected points.
+
+    Any two same-id points in one cubic cell of side ``radius/2`` are at most
+    ``radius*sqrt(3)/2 < radius`` apart, hence in the same component; give
+    each such cell's points the row id of one representative member so
+    propagation starts from the cell quotient graph instead of singletons
+    (fewer iterations; exactness unaffected - only provably-connected rows
+    are merged). Points whose half-cell coordinate overflows ``bits`` just
+    stay self-seeded (safe fallback).
+
+    Returns [N] int32 labels (row id of the representative; ``n`` for
+    invalid rows).
+    """
+    n = pos.shape[0]
+    half_r = radius * 0.5
+    cell = _shifted_cells(pos, valid, half_r, bits)
+    keys = pack_coords(ids, cell, bits, extra_invalid=jnp.logical_not(valid))
+    order = jnp.argsort(keys)
+    skeys = keys[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), skeys[1:] != skeys[:-1]]
+    )
+    head_pos = jax.lax.cummax(
+        jnp.where(first, jnp.arange(n, dtype=jnp.int32), -1)
+    )
+    rep_sorted = jnp.take(order, jnp.maximum(head_pos, 0))
+    # rows whose half-cell key overflowed the bit budget stay self-seeded
+    lab_sorted = jnp.where(skeys != INVALID_KEY, rep_sorted, order)
+    labels = jnp.full((n,), n, jnp.int32).at[order].set(lab_sorted)
+    return jnp.where(valid, labels, n)
+
+
 def radius_graph(
     pos: jnp.ndarray,
     ids: jnp.ndarray,

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..ops.hashing import BitLayout
 from ..ops.scatter import segment_sum
-from .neighbors import DEFAULT_CELL_BITS, radius_graph
+from .neighbors import DEFAULT_CELL_BITS, cell_seed_labels, radius_graph
 
 
 class RegionGrowResult(NamedTuple):
@@ -94,6 +94,8 @@ def region_grow(
         ok = (e >= 0) & (jnp.take(sem_class, safe) == sem_class[:, None])
         return jnp.where(ok, e, -1)
 
+    # no cell seeding here: seeds must separate classes, and without a static
+    # class count there is no safe id fold - the folded variant seeds
     return _grow_on_edges(
         filt(fwd), filt(rev), batch, grow_mask, max_proposals,
         min_cluster_size, max_iters,
@@ -123,8 +125,10 @@ def region_grow_folded(
     fwd, rev = radius_graph(
         pos, ids, grow_mask, radius, k=k_neighbors, cell_cap=cell_cap, bits=bits
     )
+    init = cell_seed_labels(pos, ids, grow_mask, radius, bits)
     return _grow_on_edges(
-        fwd, rev, batch, grow_mask, max_proposals, min_cluster_size, max_iters
+        fwd, rev, batch, grow_mask, max_proposals, min_cluster_size, max_iters,
+        init_labels=init,
     )
 
 
@@ -136,13 +140,19 @@ def _grow_on_edges(
     max_proposals: int,
     min_cluster_size: int,
     max_iters: int,
+    init_labels: jnp.ndarray | None = None,
 ) -> RegionGrowResult:
     """Connected components by pull-only min-label propagation over a
-    symmetrized adjacency, then size filtering + dense id compaction."""
+    symmetrized adjacency, then size filtering + dense id compaction.
+
+    ``init_labels``: optional pre-merged seeds (cell_seed_labels) - must map
+    each valid row to a member row id of its (sub)component, with every used
+    representative labeled by itself; singleton self-labels otherwise."""
     n = fwd.shape[0]
     adj = jnp.concatenate([fwd, rev], axis=1)  # [N, kf+kr]
     safe_adj = jnp.maximum(adj, 0)
-    init_labels = jnp.where(grow_mask, jnp.arange(n, dtype=jnp.int32), n)
+    if init_labels is None:
+        init_labels = jnp.where(grow_mask, jnp.arange(n, dtype=jnp.int32), n)
 
     def pull(labels):
         nbr_labels = jnp.where(adj >= 0, jnp.take(labels, safe_adj), n)

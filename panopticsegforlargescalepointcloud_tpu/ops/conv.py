@@ -61,12 +61,18 @@ def sparse_conv(
         mode = "loop" if (big and jax.default_backend() == "tpu") else "fused"
     compute_dtype = feats.dtype
     acc_dtype = jnp.promote_types(compute_dtype, jnp.float32)
-    safe = jnp.maximum(nbr_idx, 0)
-    valid = (nbr_idx >= 0)[..., None]  # [N_out, K, 1]
+    # Absent neighbors gather a zero pad row instead of being where()-masked:
+    # one [1, Cin] concat replaces a per-offset [N, Cin] select pass
+    # (scripts/bench_convbn.py: ~20% of loop-conv time on v5e at 10% invalid;
+    # real kernel maps are sparser still).
+    n_in = feats.shape[0]
+    fz = jnp.concatenate(
+        [feats, jnp.zeros((1, feats.shape[1]), compute_dtype)], axis=0
+    )
+    idx = jnp.where(nbr_idx >= 0, nbr_idx, n_in)
 
     if mode == "fused":
-        g = jnp.take(feats, safe, axis=0)  # [N_out, K, Cin]
-        g = jnp.where(valid, g, jnp.zeros((), dtype=compute_dtype))
+        g = jnp.take(fz, idx, axis=0)  # [N_out, K, Cin]
         out = jnp.dot(
             g.reshape(n_out, k * cin),
             weights.astype(compute_dtype).reshape(k * cin, cout),
@@ -75,8 +81,7 @@ def sparse_conv(
     elif mode == "loop":
         out = jnp.zeros((n_out, cout), dtype=acc_dtype)
         for kk in range(k):
-            gk = jnp.take(feats, safe[:, kk], axis=0)  # [N_out, Cin]
-            gk = jnp.where(valid[:, kk], gk, jnp.zeros((), dtype=compute_dtype))
+            gk = jnp.take(fz, idx[:, kk], axis=0)  # [N_out, Cin]
             out = out + jnp.dot(
                 gk, weights[kk].astype(compute_dtype), preferred_element_type=acc_dtype
             )
