@@ -186,6 +186,110 @@ def measure_phases(cfg, model, state, arrays, valid_voxels, iters):
     }
 
 
+def measure_e2e(num_devices: int = 1):
+    """End-to-end full-scene panoptic inference wall-clock on a synthetic
+    FOR-instance-style forest (~500k points): tiling -> per-tile forward
+    (clustering + ScoreNet) -> block merge -> finalise -> PQ report. The
+    BASELINE.md anchor for the "v5e-8 beats reference single-A100" target;
+    run with BENCH_E2E=1 (and BENCH_E2E_DEVICES=D for the mesh path)."""
+    import shutil
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from panopticsegforlargescalepointcloud_tpu.data import (
+        PanopticFileDataset,
+        TREEINS_SPEC,
+        collate_tiles,
+    )
+    from panopticsegforlargescalepointcloud_tpu.data.ply import write_ply
+    from panopticsegforlargescalepointcloud_tpu.models.pointgroup3heads import (
+        PanopticConfig,
+        PointGroup3HeadsNet,
+    )
+    from panopticsegforlargescalepointcloud_tpu.train.evaluator import (
+        FullSceneEvaluator,
+    )
+    from panopticsegforlargescalepointcloud_tpu.train.step import (
+        batch_arrays,
+        init_state,
+        prepare_example,
+    )
+
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="bench_e2e_")
+    try:
+        # ~35x35 m forest, ~100 trees, ~500k points
+        pts, sem, tid = [], [], []
+        extent, n_trees = 35.0, 100
+        for t in range(n_trees):
+            c = rng.uniform(2, extent - 2, 2)
+            k = 2000
+            xy = c + rng.normal(scale=0.8, size=(k, 2))
+            z = rng.uniform(0, 18, (k, 1)) * rng.uniform(0.5, 1.0)
+            pts.append(np.concatenate([xy, z], 1))
+            sem.append(np.full(k, 2))
+            tid.append(np.full(k, t))
+        k = 300_000
+        ground = np.stack(
+            [rng.uniform(0, extent, k), rng.uniform(0, extent, k),
+             rng.normal(scale=0.05, size=k)], 1,
+        )
+        pts.append(ground)
+        sem.append(np.full(k, 1))
+        tid.append(np.full(k, -1))
+        pos = np.concatenate(pts).astype(np.float32)
+        ply = os.path.join(tmp, "scene.ply")
+        write_ply(
+            ply,
+            [pos, np.concatenate(sem).astype(np.int32),
+             np.concatenate(tid).astype(np.int32)],
+            ["x", "y", "z", "semantic_seg", "treeID"],
+        )
+        ds = PanopticFileDataset(
+            TREEINS_SPEC, [ply], grid_size=0.2, radius=8.0, keep_raw=True,
+        )
+        cfg = PanopticConfig(
+            num_classes=2, stuff_classes=(0,), backbone="paper", feat_dim=4,
+            in_feat=16, num_samples=1, max_instances=64,
+        )
+        model = PointGroup3HeadsNet(cfg)
+        tile, _ = ds.test_tiles(0)[0]
+        vb = collate_tiles([tile], capacity=32768, num_tiles=1)
+        db, hier = prepare_example(batch_arrays(vb), cfg.num_down)
+        state = init_state(
+            cfg, model, optax.adam(1e-3), db, hier, jax.random.PRNGKey(0)
+        )
+        mesh = None
+        if num_devices > 1:
+            from panopticsegforlargescalepointcloud_tpu.parallel import make_mesh
+
+            mesh = make_mesh(jax.devices()[:num_devices])
+        ev = FullSceneEvaluator(
+            cfg, model, state.params, state.batch_stats, ds,
+            capacity=32768, mesh=mesh,
+        )
+        out1 = os.path.join(tmp, "warm")
+        ev.run(out_dir=out1, ply_output=False)  # compile + warm
+        t0 = time.perf_counter()
+        ev.run(out_dir=os.path.join(tmp, "timed"), ply_output=False)
+        wall = time.perf_counter() - t0
+        n_pts = len(ds.raw_clouds[0]["pos"])
+        n_tiles = len(ds.test_tiles(0))
+        return {
+            "scene_points": n_pts,
+            "tiles": n_tiles,
+            "devices": num_devices,
+            "e2e_scene_s": round(wall, 2),
+            "e2e_points_per_s": round(n_pts / wall, 1),
+            "scenes_per_hour": round(3600.0 / wall, 2),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -283,6 +387,14 @@ def main():
         print("per-phase split (ms):", json.dumps(phases), file=sys.stderr)
         with open(os.path.join(os.path.dirname(__file__), "bench_phases.json"), "w") as f:
             json.dump({"valid_voxels": valid_voxels, "ms": phases}, f, indent=1)
+
+    if os.environ.get("BENCH_E2E"):
+        import sys
+
+        e2e = measure_e2e(int(os.environ.get("BENCH_E2E_DEVICES", "1")))
+        print("end-to-end scene:", json.dumps(e2e), file=sys.stderr)
+        with open(os.path.join(os.path.dirname(__file__), "bench_e2e.json"), "w") as f:
+            json.dump(e2e, f, indent=1)
 
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     if os.path.exists(baseline_path):

@@ -96,8 +96,22 @@ class FullSceneEvaluator:
                 if self.mesh is not None:
                     self._process_tiles_mesh(acc, tiles, th, remap)
                 else:
+                    # one-deep pipeline: dispatch tile t's forward (async),
+                    # then host-merge tile t-1 while the device runs -
+                    # collate/merge/extract hide under device compute
+                    pending = None
                     for tile, tile_full_ids in tiles:
-                        self._process_tile(acc, tile, tile_full_ids, th, remap)
+                        vb = collate_tiles(
+                            [tile], capacity=self.capacity, num_tiles=1
+                        )
+                        db, out = self._fwd(
+                            self.params, self.batch_stats, batch_arrays(vb)
+                        )
+                        if pending is not None:
+                            self._accumulate_device(acc, *pending, th, remap)
+                        pending = (db, out, tile_full_ids)
+                    if pending is not None:
+                        self._accumulate_device(acc, *pending, th, remap)
             sem, ins = acc.finalise(
                 stuff_classes=self.pcfg.stuff_classes,
                 distance_cutoff=1.0,
@@ -142,6 +156,9 @@ class FullSceneEvaluator:
     def _process_tile(self, acc, tile, tile_full_ids, th, remap=None):
         vb = collate_tiles([tile], capacity=self.capacity, num_tiles=1)
         db, out = self._fwd(self.params, self.batch_stats, batch_arrays(vb))
+        self._accumulate_device(acc, db, out, tile_full_ids, th, remap)
+
+    def _accumulate_device(self, acc, db, out, tile_full_ids, th, remap=None):
         props_np = (
             proposals_to_numpy(out.proposals) if out.proposals is not None else None
         )
