@@ -21,3 +21,10 @@ from .sparse import (  # noqa: F401
 )
 from .scatter import segment_sum, segment_mean, segment_max, segment_min  # noqa: F401
 from .conv import sparse_conv  # noqa: F401
+from .points import (  # noqa: F401
+    ball_query,
+    farthest_point_sample,
+    knn,
+    knn_interpolate,
+    pairwise_dist2,
+)

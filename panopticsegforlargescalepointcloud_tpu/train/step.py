@@ -104,8 +104,15 @@ def panoptic_forward(
     mask_row_valid = None
     scorer_overflow = None
     if with_clustering:
+        # Clustering emits integer assignments only - the reference detaches
+        # them too (cluster indices carry no grad). stop_gradient keeps the
+        # whole subgraph out of linearization: without it, jax.grad tries to
+        # JVP-trace the Pallas mean-shift kernel and crashes on TPU (the
+        # kernel has no JVP rule; CPU tests never saw it because the Pallas
+        # path is TPU-only).
+        sg = jax.lax.stop_gradient
         props = build_proposals(
-            cfg, db.pos, off, emb, sem, db.grid.batch, db.grid.mask
+            cfg, db.pos, sg(off), sg(emb), sg(sem), db.grid.batch, db.grid.mask
         )
         if cfg.use_score_net and not cfg.scorer_type:
             # semantic-certainty confidence (reference _compute_score else
