@@ -169,6 +169,9 @@ class PanopticConfig:
     compute_dtype: str = "bfloat16"  # conv gather/GEMM precision (fp32 accum)
     backbone: str = "paper"  # "paper" (7 levels) | "tiny" (3 levels, CI)
     use_bricks: bool = False  # brick-dense submanifold convs (see PLAN.md)
+    # rematerialize UNet levels in backward (needed to fit the full train
+    # step in HBM at paper batch sizes; no-op at eval) - models/unet.py
+    remat: bool = True
     brick_size: int = 2  # submanifold-conv brick edge (ops/brick.py)
     brick_factor: float = 0.5  # brick capacity per level voxel capacity
     # ScoreNet grid key layout (x, y, z bits); proposal id lives in the
@@ -275,7 +278,7 @@ class PointGroup3HeadsNet(nn.Module):
             plan = tiny_backbone_plan(self.cfg.feat_dim, self.cfg.in_feat)
         self.backbone = SparseUNet(
             **plan, gemm_mode=self.cfg.gemm_mode,
-            compute_dtype=self.cfg.compute_dtype,
+            compute_dtype=self.cfg.compute_dtype, remat=self.cfg.remat,
         )
         f = self.cfg.in_feat
         self.semantic_mlp = PointMLP((f,), use_bias=False)
@@ -291,6 +294,7 @@ class PointGroup3HeadsNet(nn.Module):
             self.scorer_encoder = SparseEncoder(
                 **scorer_encoder_plan(f), num_segments=self.cfg.total_props,
                 gemm_mode=self.cfg.gemm_mode, compute_dtype=self.cfg.compute_dtype,
+                remat=self.cfg.remat,
             )
         elif self.cfg.scorer_type == "mlp":
             # reference ScorerMLP: MLP([out_nc, out_nc, scorer_out_nc]) (:50)
@@ -298,7 +302,7 @@ class PointGroup3HeadsNet(nn.Module):
         else:
             self.scorer = SparseUNet(
                 **scorer_unet_plan(f), gemm_mode=self.cfg.gemm_mode,
-                compute_dtype=self.cfg.compute_dtype,
+                compute_dtype=self.cfg.compute_dtype, remat=self.cfg.remat,
             )
         self.scorer_head = nn.Dense(1)
         if self.cfg.mask_supervise:

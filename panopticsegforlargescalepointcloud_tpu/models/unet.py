@@ -38,6 +38,11 @@ class SparseUNet(nn.Module):
     num_blocks: int = 2
     gemm_mode: str = "fused"
     compute_dtype: str = "float32"
+    # rematerialize each down/up module in the backward pass: activations on
+    # TPU pay an 8x HBM tile-padding tax at C=16 ((8,128) lanes), so saving
+    # every conv's output OOMs the full train step at paper batch sizes;
+    # recomputing a level's convs is cheap (gather-bound, not FLOP-bound)
+    remat: bool = False
 
     @property
     def output_nc(self) -> int:
@@ -45,6 +50,11 @@ class SparseUNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, hier: Hierarchy, train: bool, momentum=0.1):
+        # static_argnums counts self at 0; `train` is a python bool
+        Down = (
+            nn.remat(ResNetDown, static_argnums=(5,)) if self.remat else ResNetDown
+        )
+        Up = nn.remat(ResNetUp, static_argnums=(6,)) if self.remat else ResNetUp
         level = 0
         skips = []
         n_down = len(self.down_channels)
@@ -55,7 +65,7 @@ class SparseUNet(nn.Module):
             else:
                 conv_ctx = hier.down_maps[level]
                 out_level = level + 1
-            h = ResNetDown(
+            h = Down(
                 conv_nn=nn_ch,
                 stride=s,
                 num_blocks=self.num_blocks,
@@ -87,7 +97,7 @@ class SparseUNet(nn.Module):
             else:
                 conv_ctx = hier.up_maps[level - 1]
                 out_level = level - 1
-            x = ResNetUp(
+            x = Up(
                 conv_nn=nn_ch,
                 stride=s,
                 num_blocks=self.num_blocks,
@@ -123,6 +133,7 @@ class SparseEncoder(nn.Module):
     num_blocks: int = 2
     gemm_mode: str = "fused"
     compute_dtype: str = "float32"
+    remat: bool = False  # see SparseUNet.remat
 
     @property
     def output_nc(self) -> int:
@@ -130,13 +141,16 @@ class SparseEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, hier: Hierarchy, train: bool, momentum=0.1):
+        Down = (
+            nn.remat(ResNetDown, static_argnums=(5,)) if self.remat else ResNetDown
+        )
         level = 0
         for i, (nn_ch, s) in enumerate(zip(self.down_channels, self.down_strides)):
             if s == 1:
                 conv_ctx, out_level = hier.bricks[level], level
             else:
                 conv_ctx, out_level = hier.down_maps[level], level + 1
-            x = ResNetDown(
+            x = Down(
                 conv_nn=nn_ch,
                 stride=s,
                 num_blocks=self.num_blocks,
