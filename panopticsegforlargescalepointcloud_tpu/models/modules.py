@@ -44,9 +44,12 @@ class SparseConv(nn.Module):
     compute_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, ctx) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, ctx, ctx_t=None) -> jnp.ndarray:
         """``ctx`` is either a [N, K] row kernel map (strided convs) or a
-        BrickLevel (submanifold convs -> brick-dense path)."""
+        BrickLevel (submanifold convs -> brick-dense path). ``ctx_t`` is the
+        transpose kernel map (the map itself for submanifold convs, the
+        down/up partner for strided ones) - routes the backward pass through
+        gathers instead of scatter-adds (ops/conv.py)."""
         cin = x.shape[-1]
         w = self.param(
             "kernel", conv_init, (self.kernel_volume, cin, self.features), jnp.float32
@@ -59,7 +62,7 @@ class SparseConv(nn.Module):
         else:
             out = sparse_conv(
                 x.astype(cdt), ctx, w.astype(cdt), mode=self.gemm_mode,
-                out_dtype=jnp.float32,
+                out_dtype=jnp.float32, nbr_idx_t=ctx_t,
             )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
@@ -74,11 +77,11 @@ class ConvBNReLU(nn.Module):
     compute_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, x, ctx, mask, train: bool, momentum=0.1):
+    def __call__(self, x, ctx, mask, train: bool, momentum=0.1, ctx_t=None):
         h = SparseConv(
             self.features, self.kernel_volume, gemm_mode=self.gemm_mode,
             compute_dtype=self.compute_dtype,
-        )(x, ctx)
+        )(x, ctx, ctx_t)
         h = MaskedBatchNorm()(h, mask, train, momentum)
         return nn.relu(h)
 
@@ -97,8 +100,11 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x, same_ctx, mask, train: bool, momentum=0.1):
         kw = dict(gemm_mode=self.gemm_mode, compute_dtype=self.compute_dtype)
-        h = ConvBNReLU(self.features, **kw)(x, same_ctx, mask, train, momentum)
-        h = ConvBNReLU(self.features, **kw)(h, same_ctx, mask, train, momentum)
+        # a submanifold map is its own transpose (umap[j, K-1-k]=i <=>
+        # map[i, k]=j holds with idx_t = idx for symmetric offset sets)
+        ct = same_ctx if not isinstance(same_ctx, BrickLevel) else None
+        h = ConvBNReLU(self.features, **kw)(x, same_ctx, mask, train, momentum, ct)
+        h = ConvBNReLU(self.features, **kw)(h, same_ctx, mask, train, momentum, ct)
         if x.shape[-1] != self.features:
             # 1x1 conv == pointwise dense (kernel volume 1, offset (0,0,0))
             sc = nn.Dense(self.features, use_bias=False, kernel_init=conv_init)(x)
@@ -123,18 +129,27 @@ class ResNetDown(nn.Module):
     compute_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, x, conv_ctx, same_ctx_out, mask_out, train: bool, momentum=0.1):
+    def __call__(
+        self, x, conv_ctx, same_ctx_out, mask_out, train: bool, momentum=0.1,
+        conv_ctx_t=None,
+    ):
         """Args:
         x: input features at the source level.
         conv_ctx: ctx for the first conv (down row-map if stride 2, else the
           output level's BrickLevel); rows index the *output* level.
         same_ctx_out: BrickLevel at the output level (for the ResBlocks).
         mask_out: valid mask at the output level.
+        conv_ctx_t: transpose map of conv_ctx (the partner up/down map for
+          stride-2 convs; defaults to conv_ctx itself for submanifold maps).
         """
         cin, cout = self.conv_nn
         first_out = cin if self.stride > 1 else cout
         kw = dict(gemm_mode=self.gemm_mode, compute_dtype=self.compute_dtype)
-        h = ConvBNReLU(first_out, **kw)(x, conv_ctx, mask_out, train, momentum)
+        if conv_ctx_t is None and not isinstance(conv_ctx, BrickLevel) and self.stride == 1:
+            conv_ctx_t = conv_ctx
+        h = ConvBNReLU(first_out, **kw)(
+            x, conv_ctx, mask_out, train, momentum, conv_ctx_t
+        )
         for _ in range(self.num_blocks):
             h = ResBlock(cout, **kw)(h, same_ctx_out, mask_out, train, momentum)
         return h
@@ -152,7 +167,8 @@ class ResNetUp(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x, skip, conv_ctx, same_ctx_out, mask_out, train: bool, momentum=0.1
+        self, x, skip, conv_ctx, same_ctx_out, mask_out, train: bool, momentum=0.1,
+        conv_ctx_t=None,
     ):
         if skip is not None:
             x = jnp.concatenate([x, skip], axis=-1)
@@ -163,7 +179,7 @@ class ResNetUp(nn.Module):
             gemm_mode=self.gemm_mode,
             compute_dtype=self.compute_dtype,
             name="up",
-        )(x, conv_ctx, same_ctx_out, mask_out, train, momentum)
+        )(x, conv_ctx, same_ctx_out, mask_out, train, momentum, conv_ctx_t)
 
 
 class PointMLP(nn.Module):

@@ -61,9 +61,11 @@ class SparseUNet(nn.Module):
         for i, (nn_ch, s) in enumerate(zip(self.down_channels, self.down_strides)):
             if s == 1:
                 conv_ctx = hier.bricks[level]
+                conv_ctx_t = None  # submanifold: its own transpose (modules.py)
                 out_level = level
             else:
                 conv_ctx = hier.down_maps[level]
+                conv_ctx_t = hier.up_maps[level]  # transpose partner
                 out_level = level + 1
             h = Down(
                 conv_nn=nn_ch,
@@ -79,6 +81,7 @@ class SparseUNet(nn.Module):
                 hier.grids[out_level].mask,
                 train,
                 momentum,
+                conv_ctx_t,
             )
             level = out_level
             x = h
@@ -93,9 +96,11 @@ class SparseUNet(nn.Module):
             )
             if s == 1:
                 conv_ctx = hier.bricks[level]
+                conv_ctx_t = None
                 out_level = level
             else:
                 conv_ctx = hier.up_maps[level - 1]
+                conv_ctx_t = hier.down_maps[level - 1]  # transpose partner
                 out_level = level - 1
             x = Up(
                 conv_nn=nn_ch,
@@ -112,6 +117,7 @@ class SparseUNet(nn.Module):
                 hier.grids[out_level].mask,
                 train,
                 momentum,
+                conv_ctx_t,
             )
             level = out_level
         assert level == 0, f"UNet did not return to level 0 (at {level})"
@@ -147,9 +153,11 @@ class SparseEncoder(nn.Module):
         level = 0
         for i, (nn_ch, s) in enumerate(zip(self.down_channels, self.down_strides)):
             if s == 1:
-                conv_ctx, out_level = hier.bricks[level], level
+                conv_ctx, conv_ctx_t, out_level = hier.bricks[level], None, level
             else:
-                conv_ctx, out_level = hier.down_maps[level], level + 1
+                conv_ctx = hier.down_maps[level]
+                conv_ctx_t = hier.up_maps[level]
+                out_level = level + 1
             x = Down(
                 conv_nn=nn_ch,
                 stride=s,
@@ -164,6 +172,7 @@ class SparseEncoder(nn.Module):
                 hier.grids[out_level].mask,
                 train,
                 momentum,
+                conv_ctx_t,
             )
             level = out_level
         grid = hier.grids[level]

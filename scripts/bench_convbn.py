@@ -127,3 +127,68 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def bench_backward():
+    """Price the conv backward: XLA turns the gather's VJP into scatter-adds;
+    compare against the forward and against a hand transpose-map backward
+    (gathers through the negated-offset map, no scatters)."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    print(f"device: {jax.devices()[0]} (backward)")
+    for n, c in [(131072, 16), (98304, 32)]:
+        feats = jnp.asarray(rng.normal(size=(n, c)), jnp.bfloat16)
+        band = 2000
+        base = np.arange(n)[:, None] + rng.integers(-band, band, size=(n, 27))
+        idx = np.clip(base, 0, n - 1).astype(np.int32)
+        inv = rng.random((n, 27)) < 0.1
+        idx_z = jnp.asarray(np.where(inv, n, idx))
+        w = jnp.asarray(rng.normal(size=(27, c, c)), jnp.bfloat16)
+        x0 = feats
+
+        def scal(x):
+            return (x[0, 0] * jnp.bfloat16(1e-30)).astype(jnp.bfloat16)
+
+        def conv(f):
+            fz = jnp.concatenate([f, jnp.zeros((1, c), f.dtype)])
+            out = jnp.zeros((n, c), jnp.float32)
+            for kk in range(27):
+                gk = jnp.take(fz, idx_z[:, kk], axis=0)
+                out = out + jnp.dot(gk, w[kk], preferred_element_type=jnp.float32)
+            return out
+
+        @jax.jit
+        def step_fwd(x):
+            out = conv(feats + scal(x))
+            s = jnp.sum(out[0])
+            return x.at[0, 0].add(jnp.bfloat16(1e-30) * out[0, 0].astype(jnp.bfloat16)), s
+
+        @jax.jit
+        def step_bwd(x):
+            gf = jax.grad(lambda f: jnp.sum(conv(f)))(feats + scal(x))
+            s = jnp.sum(gf[0].astype(jnp.float32))
+            return x.at[0, 0].add(jnp.bfloat16(1e-30) * gf[0, 0].astype(jnp.bfloat16)), s
+
+        @jax.jit
+        def step_tmap(x):
+            # hand backward: same-cost conv through the reversed map
+            f = feats + scal(x)
+            g = conv(f).astype(jnp.bfloat16)
+            fz = jnp.concatenate([g, jnp.zeros((1, c), g.dtype)])
+            wT = jnp.flip(w, axis=0).transpose(0, 2, 1)
+            out = jnp.zeros((n, c), jnp.float32)
+            for kk in range(27):
+                gk = jnp.take(fz, idx_z[:, kk], axis=0)
+                out = out + jnp.dot(gk, wT[kk], preferred_element_type=jnp.float32)
+            s = jnp.sum(out[0])
+            return x.at[0, 0].add(jnp.bfloat16(1e-30) * out[0, 0].astype(jnp.bfloat16)), s
+
+        tf = measure(step_fwd, x0)
+        tb = measure(step_bwd, x0)
+        tt = measure(step_tmap, x0)
+        print(
+            f"N={n:6d} C={c:3d} | fwd {tf*1e3:7.2f} autodiff-bwd {tb*1e3:7.2f}"
+            f" fwd+transpose-map {tt*1e3:7.2f} ms"
+        )
+        sys.stdout.flush()
