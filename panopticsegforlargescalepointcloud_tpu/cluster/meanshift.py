@@ -191,11 +191,15 @@ def pack_by_sample(
     mask: jnp.ndarray,
     num_samples: int,
     cap: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Pack masked flat rows into [B, cap] dense per-sample tensors.
 
-    Returns (dense [B, cap, E], dvalid [B, cap], src_row [B, cap] int32 -1 pad).
-    Rows beyond ``cap`` per sample are dropped (size budgets accordingly).
+    Returns (dense [B, cap, E], dvalid [B, cap], src_row [B, cap] int32 -1 pad,
+    dropped [] int32). ``dropped`` counts masked rows beyond ``cap`` in their
+    sample - the reference clusters every thing point
+    (``/root/reference/torch_points3d/utils/meanshift_cluster.py:72-123``), so
+    a nonzero count means the cap must be raised; callers surface it as
+    ``cluster_overflow`` next to the scorer/hierarchy overflow counters.
     """
     n = x.shape[0]
     key = jnp.where(mask, batch, num_samples)
@@ -211,8 +215,10 @@ def pack_by_sample(
     src = jnp.full((num_samples * cap,), -1, jnp.int32)
     src = src.at[flat_tgt].set(order, mode="drop")
     e = x.shape[1]
+    dropped = jnp.sum(((sb < num_samples) & (slot >= cap)).astype(jnp.int32))
     return (
         dense.reshape(num_samples, cap, e),
         dvalid.reshape(num_samples, cap),
         src.reshape(num_samples, cap),
+        dropped,
     )

@@ -222,9 +222,15 @@ def radius_graph(
       together with one sentinel query per row, giving each row's in-edges
       as a contiguous run (cap k).
 
-    Returns (fwd [N, k], rev [N, k]) int32 row indices, -1 padding. The union
-    fwd ∪ rev contains every in-radius same-id edge at least once in each
-    direction (up to the k / cell_cap budgets).
+    Returns (fwd [N, k], rev [N, k], trunc []) int32. The union fwd ∪ rev
+    contains every in-radius same-id edge at least once in each direction (up
+    to the k / cell_cap budgets). ``trunc`` counts rows whose connectivity was
+    silently degraded (ADVICE r2): destinations whose in-edge run exceeded the
+    k reverse slots (pull-only propagation can leave a hub's component split)
+    plus valid rows whose shifted cell coordinate overflowed the ``bits``
+    budget (key INVALID -> zero neighbors, e.g. batches whose samples keep
+    distant absolute frames). Callers surface the count so over-dense or
+    mis-framed tiles are detectable instead of silently under-merged.
     """
     n = pos.shape[0]
     cell = _shifted_cells(pos, valid, radius, bits)
@@ -267,12 +273,13 @@ def radius_graph(
     fwd = jnp.take(order, sel_sorted)
     fwd = jnp.where(jnp.isfinite(-neg), fwd, -1)  # [N, kk]
 
+    key_overflow = jnp.sum((valid & (keys == INVALID_KEY)).astype(jnp.int32))
     if not with_reverse:  # profiling/one-directional uses
         if kk < k:
             fwd = jnp.concatenate(
                 [fwd, jnp.full((n, k - kk), -1, jnp.int32)], axis=1
             )
-        return fwd, jnp.full((n, k), -1, jnp.int32)
+        return fwd, jnp.full((n, k), -1, jnp.int32), key_overflow
 
     # Reverse edges: stable-argsort the forward destinations; each dst's
     # in-edges form a contiguous run, and because the flattened [N, kk] edge
@@ -292,8 +299,14 @@ def radius_graph(
     rcand = jnp.minimum(starts[:n, None] + rslot[None, :], nkk - 1)
     rok = jnp.take(dst_sorted, rcand) == jnp.arange(n, dtype=jnp.int32)[:, None]
     rev = jnp.where(rok, jnp.take(src_sorted, rcand), -1)
+    # rows whose in-edge run continues past the k reverse slots (one gather:
+    # is the (k+1)-th run entry still this destination?)
+    over = jnp.take(
+        dst_sorted, jnp.minimum(starts[:n] + k, nkk - 1)
+    ) == jnp.arange(n, dtype=jnp.int32)
+    trunc = jnp.sum(over.astype(jnp.int32)) + key_overflow
     if kk < k:
         fwd = jnp.concatenate(
             [fwd, jnp.full((n, k - kk), -1, jnp.int32)], axis=1
         )
-    return fwd, rev
+    return fwd, rev, trunc

@@ -35,6 +35,12 @@ class RegionGrowResult(NamedTuple):
     prop_valid: jnp.ndarray  # [P] bool
     prop_batch: jnp.ndarray  # [P] int32 (-1 pad)
     num_props: jnp.ndarray  # [] int32 (pre-capacity-clip count)
+    # eligible (grow_mask) rows left out of clustering by the point_cap
+    # compaction budget; 0 when point_cap is off or covers all thing rows
+    overflow: jnp.ndarray
+    # radius-graph degradation count (reverse-slot truncation + cell-key
+    # overflow, neighbors.radius_graph) - nonzero means possible under-merge
+    graph_trunc: jnp.ndarray
 
 
 def _fold_bits(num_ids: int) -> BitLayout:
@@ -84,7 +90,7 @@ def region_grow(
     Returns:
       RegionGrowResult with per-point proposal ids in [0, P).
     """
-    fwd, rev = radius_graph(
+    fwd, rev, trunc = radius_graph(
         pos, batch, grow_mask, radius, k=k_neighbors, cell_cap=cell_cap,
         bits=DEFAULT_CELL_BITS,
     )
@@ -96,10 +102,11 @@ def region_grow(
 
     # no cell seeding here: seeds must separate classes, and without a static
     # class count there is no safe id fold - the folded variant seeds
-    return _grow_on_edges(
+    r = _grow_on_edges(
         filt(fwd), filt(rev), batch, grow_mask, max_proposals,
         min_cluster_size, max_iters,
     )
+    return r._replace(graph_trunc=trunc)
 
 
 def region_grow_folded(
@@ -115,21 +122,66 @@ def region_grow_folded(
     k_neighbors: int = 32,
     cell_cap: int = 16,
     max_iters: int = 64,
+    point_cap: int = 0,
 ) -> RegionGrowResult:
     """:func:`region_grow` with the class folded into the cell key (static
     ``num_classes`` / ``num_samples`` known from the model config): candidate
     slots only ever hold same-sample same-class points, so no edge budget is
-    wasted and no post-filter pass is needed."""
-    ids = batch * jnp.int32(num_classes) + sem_class
+    wasted and no post-filter pass is needed.
+
+    ``point_cap`` > 0 compacts the eligible (grow_mask) rows into a [T] row
+    set before the radius graph and propagation run, so every per-row cost
+    (candidate scan, [T, k] label gathers in the loop) scales with the thing
+    count instead of the full padded row count - the reference pays nothing
+    here because its C++ BFS walks thing points only
+    (``/root/reference/torch_points3d/models/panoptic/PointGroup3heads.py:185-210``).
+    Thing rows beyond the cap are excluded and counted in ``overflow``
+    (surfaced as ``cluster_overflow`` in train/eval metrics)."""
+    n = pos.shape[0]
     bits = _fold_bits(num_samples * num_classes)
-    fwd, rev = radius_graph(
+
+    if point_cap and point_cap < n:
+        t = point_cap
+        # stable compaction: thing rows keep their relative (key-sorted) order
+        cnt = jnp.cumsum(grow_mask.astype(jnp.int32)) - 1
+        tgt = jnp.where(grow_mask & (cnt < t), cnt, t)
+        rows = jnp.full((t + 1,), n, jnp.int32).at[tgt].set(
+            jnp.arange(n, dtype=jnp.int32), mode="drop"
+        )[:t]
+        rvalid = rows < n
+        rows_safe = jnp.minimum(rows, n - 1)
+        total = jnp.sum(grow_mask.astype(jnp.int32))
+        overflow = jnp.maximum(total - t, 0)
+        cpos = jnp.take(pos, rows_safe, axis=0)
+        cbatch = jnp.take(batch, rows_safe)
+        cids = cbatch * jnp.int32(num_classes) + jnp.take(sem_class, rows_safe)
+        fwd, rev, trunc = radius_graph(
+            cpos, cids, rvalid, radius, k=k_neighbors, cell_cap=cell_cap,
+            bits=bits,
+        )
+        init = cell_seed_labels(cpos, cids, rvalid, radius, bits)
+        r = _grow_on_edges(
+            fwd, rev, cbatch, rvalid, max_proposals, min_cluster_size,
+            max_iters, init_labels=init,
+        )
+        point_prop = jnp.full((n + 1,), -1, jnp.int32).at[
+            jnp.where(rvalid, rows_safe, n)
+        ].set(r.point_prop, mode="drop")[:n]
+        return RegionGrowResult(
+            point_prop, r.prop_valid, r.prop_batch, r.num_props, overflow,
+            trunc,
+        )
+
+    ids = batch * jnp.int32(num_classes) + sem_class
+    fwd, rev, trunc = radius_graph(
         pos, ids, grow_mask, radius, k=k_neighbors, cell_cap=cell_cap, bits=bits
     )
     init = cell_seed_labels(pos, ids, grow_mask, radius, bits)
-    return _grow_on_edges(
+    r = _grow_on_edges(
         fwd, rev, batch, grow_mask, max_proposals, min_cluster_size, max_iters,
         init_labels=init,
     )
+    return r._replace(graph_trunc=trunc)
 
 
 def _grow_on_edges(
@@ -206,4 +258,7 @@ def _grow_on_edges(
     prop_batch = jnp.where(
         prop_valid, jnp.take(batch, jnp.maximum(root_rows, 0)), -1
     )
-    return RegionGrowResult(point_prop, prop_valid, prop_batch, num)
+    return RegionGrowResult(
+        point_prop, prop_valid, prop_batch, num, jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32),
+    )

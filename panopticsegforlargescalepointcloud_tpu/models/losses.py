@@ -196,11 +196,19 @@ def instance_iou(
     batch: jnp.ndarray,
     num_samples: int,
     max_instances: int,
+    member_pass: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """IoU between every proposal and every GT instance.
 
     Fixed-shape equivalent of torch-points-kernels ``instance_iou`` as used at
     panoptic_losses.py:37. GT instances are addressed as batch*K + (label-1).
+
+    ``member_pass`` ([M] bool) enables the reference's mask-based IoU
+    (``cal_iou_based_on_mask``, panoptic_losses.py:25-90): membership rows
+    whose sigmoid mask score fails the 0.5 gate are excluded from both the
+    intersection and the proposal size (GT sizes unchanged). Callers pass
+    True for members without a scorer-grid row (the reference scores every
+    member; a dropped row must not silently shrink the proposal).
 
     Returns [P, B*K] fp32 IoU (0 for absent instances / invalid proposals).
     """
@@ -210,6 +218,8 @@ def instance_iou(
     lbl = jnp.take(instance_labels, pt)
     bat = jnp.take(batch, pt)
     member_ok = proposals.member_valid & (proposals.prop_id >= 0)
+    if member_pass is not None:
+        member_ok = member_ok & member_pass
     gt_of_member = jnp.where(
         member_ok & (lbl > 0), bat * max_instances + (lbl - 1), -1
     )

@@ -117,8 +117,15 @@ class PanopticConfig:
     use_score_net: bool = True
     mask_supervise: bool = False
     use_mask_filter_score_feature: bool = False
+    # reference gate (PointGroup3heads.py:63,430): the mask filter activates
+    # only when epoch > start_epoch; the trainer re-jits the step when the
+    # gate flips (static branch, no traced control flow)
+    use_mask_filter_score_feature_start_epoch: int = 200
     mask_filter_score_feature_thre: float = 0.5
     cal_iou_based_on_mask: bool = False
+    # reference gate (PointGroup3heads.py:67,594): mask-based IoU targets
+    # activate only when epoch > start_epoch
+    cal_iou_based_on_mask_start_epoch: int = 200
     min_iou_threshold: float = 0.25
     max_iou_threshold: float = 0.75
     block_merge_th: float = 0.01
@@ -141,6 +148,12 @@ class PanopticConfig:
     # in-radius pair covered once (the symmetric union does), and the loop's
     # per-iteration gather is adjacency-width-bound (v5e profile)
     rg_k_neighbors: int = 16
+    # static thing-row budget for region growing: > 0 compacts eligible rows
+    # to [rg_point_cap] before the radius graph + propagation loop run, so
+    # their per-row costs scale with the thing count, not the padded voxel
+    # count (the reference's C++ BFS walks thing points only). 0 = off.
+    # Thing rows beyond the cap are dropped and counted (cluster_overflow).
+    rg_point_cap: int = 0
     # candidate scan budget per cell: cells have side = cluster_radius, so a
     # voxel grid averages ~3.4 occupants/cell; 8 gives 2.3x headroom while
     # halving candidate gathers + top_k width vs 16 (truncation only trims
@@ -166,6 +179,11 @@ class PanopticConfig:
     # "fused" = one [N,27C]x[27C,Cout] GEMM (~6x faster to COMPILE - the right
     # call on CPU test runs); "auto" = loop on TPU, fused elsewhere
     gemm_mode: str = "auto"
+    # Pallas windowed-streaming conv (ops/winconv.py): "auto" = on for TPU
+    # backends, off elsewhere (CPU tests use the row path; the kernel's
+    # interpret mode is exercised by tests/test_winconv.py); "on"/"off"
+    # force it. 3.6-4.9x per conv on v5e (scripts/bench_winconv.py).
+    use_winconv: str = "auto"
     compute_dtype: str = "bfloat16"  # conv gather/GEMM precision (fp32 accum)
     backbone: str = "paper"  # "paper" (7 levels) | "tiny" (3 levels, CI)
     use_bricks: bool = False  # brick-dense submanifold convs (see PLAN.md)
@@ -192,6 +210,14 @@ class PanopticConfig:
     @property
     def scorer_layout(self) -> BitLayout:
         return BitLayout(*self.scorer_bits)
+
+    @property
+    def win_enabled(self) -> bool:
+        if self.use_winconv == "auto":
+            import jax
+
+            return jax.default_backend() == "tpu"
+        return self.use_winconv in (True, "on", "true", "1")
 
     @property
     def num_down(self) -> int:
@@ -260,6 +286,8 @@ class PanopticOutput(NamedTuple):
     mask_scores: Optional[jnp.ndarray]  # [M] raw logits per membership row
     mask_row_valid: Optional[jnp.ndarray] = None  # [M] member has a scorer row
     scorer_overflow: Optional[jnp.ndarray] = None  # members outside bit budget
+    cluster_overflow: Optional[jnp.ndarray] = None  # thing rows past cluster caps
+    rg_graph_trunc: Optional[jnp.ndarray] = None  # degraded radius-graph rows
 
 
 class PointGroup3HeadsNet(nn.Module):
@@ -330,10 +358,15 @@ class PointGroup3HeadsNet(nn.Module):
         num_props: int,
         train: bool,
         momentum=0.1,
-        epoch: int = 0,
+        epoch: int | None = None,
     ):
         """Scorer net (unet | mlp | encoder, reference _compute_score
-        :393-454) -> (optional mask logits) -> segment max -> sigmoid head."""
+        :393-454) -> (optional mask logits) -> segment max -> sigmoid head.
+
+        ``epoch`` is STATIC (python int): the mask score-feature filter only
+        activates when ``epoch > cfg.use_mask_filter_score_feature_start_epoch``
+        (reference :430). None = gate open (eval from a converged checkpoint,
+        and tests that flip the flag directly)."""
         seg0 = jnp.where(prop_of_row >= 0, prop_of_row, -1)
         if self.cfg.scorer_type == "encoder":
             cluster_feats = self.scorer_encoder(
@@ -353,7 +386,11 @@ class PointGroup3HeadsNet(nn.Module):
         if self.cfg.mask_supervise:
             h = nn.relu(self.mask_score_a(out))
             mask_logits = self.mask_score_b(h)[:, 0]
-            if self.cfg.use_mask_filter_score_feature:
+            filter_on = self.cfg.use_mask_filter_score_feature and (
+                epoch is None
+                or epoch > self.cfg.use_mask_filter_score_feature_start_epoch
+            )
+            if filter_on:
                 keep = jax.nn.sigmoid(mask_logits) >= self.cfg.mask_filter_score_feature_thre
                 out = out * keep[:, None]
         seg = jnp.where(prop_of_row >= 0, prop_of_row, -1)
@@ -405,15 +442,21 @@ def _embed_proposals(
     pred: jnp.ndarray,
     batch: jnp.ndarray,
     thing: jnp.ndarray,
-) -> Proposals:
+) -> Tuple[Proposals, jnp.ndarray]:
     """PointGroupEmbed cluster strategies (EMBED_STRATEGIES table): density
     grouping / mean-shift over xyz / embeddings / random feature subsets,
-    plus optional region-growing (reference pointgroupembed.py:219-790)."""
+    plus optional region-growing (reference pointgroupembed.py:219-790).
+
+    Returns (proposals, cluster_overflow, graph_trunc): thing rows left out
+    of any clustering run by the static pack/point caps, and radius-graph
+    degradation counts (possible under-merge, see neighbors.radius_graph)."""
     n = pos.shape[0]
     feats_all = jnp.concatenate(
         [pos.astype(jnp.float32), embeds.astype(jnp.float32)], axis=1
     )
     packs = {}
+    overflow = jnp.zeros((), jnp.int32)
+    gtrunc = jnp.zeros((), jnp.int32)
 
     def get_pack(cap):
         if cap not in packs:
@@ -438,7 +481,10 @@ def _embed_proposals(
                 min_cluster_size=cfg.min_cluster_size,
                 k_neighbors=cfg.rg_k_neighbors,
                 cell_cap=cfg.rg_cell_cap,
+                point_cap=cfg.rg_point_cap,
             )
+            overflow = overflow + rg.overflow
+            gtrunc = gtrunc + rg.graph_trunc
             pid = jnp.where(rg.point_prop >= 0, rg.point_prop + id_offset, -1)
             point_blocks.append(pid)
             prop_valid_parts.append(rg.prop_valid)
@@ -449,7 +495,8 @@ def _embed_proposals(
             continue
 
         cap = cfg.hd_point_cap if method == "hdbscan" else cfg.ms_point_cap
-        dense, dvalid, src_row = get_pack(cap)
+        dense, dvalid, src_row, dropped = get_pack(cap)
+        overflow = overflow + dropped
         counts = jnp.sum(dvalid.astype(jnp.int32), axis=1)
         # reference skips samples with too few thing points (cluster_loop's
         # sum(batch_mask) > 5 / cluster_single's > 3)
@@ -505,7 +552,7 @@ def _embed_proposals(
     point_idx = jnp.tile(jnp.arange(n, dtype=jnp.int32), len(point_blocks))
     prop_id = jnp.concatenate(point_blocks)
     member_valid = prop_id >= 0
-    return Proposals(
+    props = Proposals(
         point_idx=jnp.where(member_valid, point_idx, -1),
         prop_id=prop_id,
         member_valid=member_valid,
@@ -513,6 +560,7 @@ def _embed_proposals(
         prop_batch=jnp.concatenate(prop_batch_parts),
         prop_type=jnp.concatenate(prop_type_parts),
     )
+    return props, overflow, gtrunc
 
 
 def build_proposals(
@@ -523,11 +571,17 @@ def build_proposals(
     sem_logp: jnp.ndarray,
     batch: jnp.ndarray,
     valid: jnp.ndarray,
-) -> Proposals:
+) -> Tuple[Proposals, jnp.ndarray]:
     """Run the configured cluster sources and assemble the membership table.
 
     Membership layout: ``num_sources`` blocks of N rows; block s row i is
     point i's membership in its source-s proposal (or padding).
+
+    Returns (proposals, cluster_overflow, graph_trunc). cluster_overflow
+    counts thing rows excluded from any cluster run by the static caps
+    (rg_point_cap / ms_point_cap / hd_point_cap); graph_trunc counts
+    radius-graph degradation (reverse-slot truncation / cell-key overflow,
+    possible under-merge). Both are surfaced in train/eval metrics.
     """
     n = pos.shape[0]
     pred = jnp.argmax(sem_logp, axis=-1).astype(jnp.int32)
@@ -544,6 +598,8 @@ def build_proposals(
     prop_type_parts = []
     id_offset = 0
     tag = 0
+    overflow = jnp.zeros((), jnp.int32)
+    gtrunc = jnp.zeros((), jnp.int32)
 
     for src in cfg.rg_sources:
         grow_pos = pos + offsets if src == "vote" else pos
@@ -559,7 +615,10 @@ def build_proposals(
             min_cluster_size=cfg.min_cluster_size,
             k_neighbors=cfg.rg_k_neighbors,
             cell_cap=cfg.rg_cell_cap,
+            point_cap=cfg.rg_point_cap,
         )
+        overflow = overflow + rg.overflow
+        gtrunc = gtrunc + rg.graph_trunc
         pid = jnp.where(rg.point_prop >= 0, rg.point_prop + id_offset, -1)
         point_blocks.append(pid)
         prop_valid_parts.append(rg.prop_valid)
@@ -569,9 +628,10 @@ def build_proposals(
         tag += 1
 
     if cfg.use_meanshift:
-        dense, dvalid, src_row = pack_by_sample(
+        dense, dvalid, src_row, dropped = pack_by_sample(
             embeds, batch, thing, cfg.num_samples, cfg.ms_point_cap
         )
+        overflow = overflow + dropped
         # reference skips samples with <= 3 thing points (meanshift_cluster.py:86)
         counts = jnp.sum(dvalid.astype(jnp.int32), axis=1)
         dvalid = dvalid & (counts > 3)[:, None]
@@ -606,7 +666,7 @@ def build_proposals(
     prop_valid = jnp.concatenate(prop_valid_parts)
     prop_batch = jnp.concatenate(prop_batch_parts)
     prop_type = jnp.concatenate(prop_type_parts)
-    return Proposals(
+    props = Proposals(
         point_idx=jnp.where(member_valid, point_idx, -1),
         prop_id=prop_id,
         member_valid=member_valid,
@@ -614,6 +674,7 @@ def build_proposals(
         prop_batch=prop_batch,
         prop_type=prop_type,
     )
+    return props, overflow, gtrunc
 
 
 def scorer_inputs(
@@ -642,6 +703,7 @@ def scorer_inputs(
     # shrinks the grid (and the ScoreNet conv work on it); drops are counted
     # into ``overflow``
     m = int(props.budget * cfg.scorer_capacity_mult)
+    m = -(-m // 256) * 256  # multiple of the winconv tile (ops/winconv.py)
     ok = props.member_valid & (props.prop_id >= 0)
     pt = jnp.maximum(props.point_idx, 0)
     seg = jnp.where(ok, props.prop_id, -1)
@@ -672,6 +734,7 @@ def scorer_inputs(
     hier = build_hierarchy(
         grid, num_down=2, bits=bits, use_bricks=cfg.use_bricks,
         brick_size=cfg.brick_size, brick_capacity_factor=cfg.brick_factor,
+        win_maps=cfg.win_enabled,
     )
     return grid, hier, sf, inverse, overflow
 
@@ -686,8 +749,13 @@ def panoptic_losses(
     batch: jnp.ndarray,
     valid: jnp.ndarray,
     class_weights: jnp.ndarray | None = None,
+    epoch: int | None = None,
 ):
-    """Assemble the total loss (reference _compute_loss :552-634)."""
+    """Assemble the total loss (reference _compute_loss :552-634).
+
+    ``epoch`` is STATIC; it gates the mask-based IoU targets
+    (``cal_iou_based_on_mask`` active iff epoch > its start_epoch,
+    reference :594) - None = gate open."""
     losses = {}
     losses["semantic_loss"] = semantic_nll_loss(
         out.semantic_logits, labels_y, valid, class_weights
@@ -712,8 +780,22 @@ def panoptic_losses(
     total = total + cfg.w_embed * disc["ins_loss"]
 
     if out.proposals is not None and out.cluster_scores is not None:
+        member_pass = None
+        if (
+            cfg.cal_iou_based_on_mask
+            and out.mask_scores is not None
+            and (epoch is None or epoch > cfg.cal_iou_based_on_mask_start_epoch)
+        ):
+            # reference mask-based IoU (panoptic_losses.py:25-90): members
+            # failing the 0.5 sigmoid gate leave the proposal for IoU
+            # purposes; members without a scorer row keep counting (the
+            # reference scores every member)
+            member_pass = jax.nn.sigmoid(out.mask_scores) > 0.5
+            if out.mask_row_valid is not None:
+                member_pass = member_pass | ~out.mask_row_valid
         ious = instance_iou(
-            out.proposals, instance_labels, batch, cfg.num_samples, cfg.max_instances
+            out.proposals, instance_labels, batch, cfg.num_samples,
+            cfg.max_instances, member_pass=member_pass,
         )
         losses["score_loss"] = instance_iou_loss(
             ious,
@@ -735,5 +817,9 @@ def panoptic_losses(
             total = total + cfg.w_mask * losses["mask_loss"]
     if out.scorer_overflow is not None:
         losses["scorer_overflow"] = out.scorer_overflow.astype(jnp.float32)
+    if out.cluster_overflow is not None:
+        losses["cluster_overflow"] = out.cluster_overflow.astype(jnp.float32)
+    if out.rg_graph_trunc is not None:
+        losses["rg_graph_trunc"] = out.rg_graph_trunc.astype(jnp.float32)
     losses["loss"] = total
     return total, losses

@@ -52,9 +52,11 @@ def make_parallel_train_step(
     axis_name: str = "data",
     grad_clip_value: float | None = None,
     class_weights=None,
+    epoch: int | None = None,
 ):
     """Returns a jitted step: (replicated TrainState, [D,...] arrays) ->
-    (TrainState, metrics). Gradients psum over the mesh."""
+    (TrainState, metrics). Gradients psum over the mesh. ``epoch`` is STATIC
+    and gates the *_start_epoch mask features (see train/step.py)."""
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
 
     def device_step(state: TrainState, arrays):
@@ -63,6 +65,7 @@ def make_parallel_train_step(
         hier = build_hierarchy(
             db.grid, cfg.num_down, use_bricks=cfg.use_bricks,
             brick_size=cfg.brick_size, brick_capacity_factor=cfg.brick_factor,
+            win_maps=cfg.win_enabled,
         )
 
         def loss_fn(params):
@@ -70,11 +73,12 @@ def make_parallel_train_step(
             out, new_stats = panoptic_forward(
                 cfg, model, variables, db, hier, train=True,
                 with_clustering=with_clustering, momentum=state.bn_momentum,
+                epoch=epoch,
             )
             total, losses = panoptic_losses(
                 cfg, out, db.y, db.vote_label, db.instance_labels,
                 db.instance_mask, db.grid.batch, db.grid.mask,
-                class_weights=cw,
+                class_weights=cw, epoch=epoch,
             )
             return total, (losses, new_stats)
 
@@ -134,6 +138,7 @@ def make_parallel_eval_forward(
         hier = build_hierarchy(
             db.grid, cfg.num_down, use_bricks=cfg.use_bricks,
             brick_size=cfg.brick_size, brick_capacity_factor=cfg.brick_factor,
+            win_maps=cfg.win_enabled,
         )
         out, _ = panoptic_forward(
             cfg, model, {"params": params, "batch_stats": batch_stats},
@@ -141,7 +146,13 @@ def make_parallel_eval_forward(
         )
         scores = out.cluster_scores
         if scores is None:
-            scores = jnp.ones((cfg.total_props,), jnp.float32)
+            # no scorer configured (use_score_net=False, e.g. Setting I):
+            # the sequential path hands extract_clusters scores=None, which is
+            # the reference's early-exit (ALL proposals, no NMS/score filter).
+            # Mirror it with a NaN sentinel the host side converts back to
+            # None - all-ones scores would silently run NMS + min_score
+            # filtering and diverge from the sequential path (ADVICE r2).
+            scores = jnp.full((cfg.total_props,), jnp.nan, jnp.float32)
         p = out.proposals
         res = dict(
             mask=db.grid.mask,

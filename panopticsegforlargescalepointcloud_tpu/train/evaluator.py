@@ -208,13 +208,19 @@ class FullSceneEvaluator:
                     prop_batch=res["prop_batch"][di],
                     prop_type=res["prop_type"][di],
                 )
+                # NaN sentinel = the model has no scorer; restore the
+                # sequential path's scores=None (extract_clusters early-exit:
+                # all proposals, no NMS/score filtering)
+                tile_scores = res["scores"][di]
+                if np.all(np.isnan(tile_scores)):
+                    tile_scores = None
                 self._accumulate(
                     acc,
                     res["mask"][di],
                     res["origin"][di],
                     res["sem"][di],
                     props_np,
-                    res["scores"][di],
+                    tile_scores,
                     tile_full_ids,
                     th,
                     remap,

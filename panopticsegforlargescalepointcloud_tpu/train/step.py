@@ -80,8 +80,10 @@ def panoptic_forward(
     train: bool,
     with_clustering: bool,
     momentum=0.1,
+    epoch: int | None = None,
 ) -> Tuple[PanopticOutput, Dict[str, Any]]:
-    """Returns (output, updated batch_stats)."""
+    """Returns (output, updated batch_stats). ``epoch`` is STATIC; it gates
+    the epoch-conditional mask features (see PanopticConfig *_start_epoch)."""
     mutable = ["batch_stats"] if train else False
     res = model.apply(
         variables,
@@ -103,6 +105,8 @@ def panoptic_forward(
     member_mask_scores = None
     mask_row_valid = None
     scorer_overflow = None
+    cluster_overflow = None
+    rg_graph_trunc = None
     if with_clustering:
         # Clustering emits integer assignments only - the reference detaches
         # them too (cluster indices carry no grad). stop_gradient keeps the
@@ -111,7 +115,7 @@ def panoptic_forward(
         # kernel has no JVP rule; CPU tests never saw it because the Pallas
         # path is TPU-only).
         sg = jax.lax.stop_gradient
-        props = build_proposals(
+        props, cluster_overflow, rg_graph_trunc = build_proposals(
             cfg, db.pos, sg(off), sg(emb), sg(sem), db.grid.batch, db.grid.mask
         )
         if cfg.use_score_net and not cfg.scorer_type:
@@ -139,6 +143,7 @@ def panoptic_forward(
                 cfg.total_props,
                 train,
                 momentum,
+                epoch,
                 method=PointGroup3HeadsNet.score,
                 mutable=mutable,
             )
@@ -166,6 +171,8 @@ def panoptic_forward(
         mask_scores=member_mask_scores,
         mask_row_valid=mask_row_valid,
         scorer_overflow=scorer_overflow,
+        cluster_overflow=cluster_overflow,
+        rg_graph_trunc=rg_graph_trunc,
     )
     return out, variables.get("batch_stats", {})
 
@@ -191,7 +198,7 @@ def init_state(
     # dispatch is pathologically slow, and init touches hundreds of primitives.
     @jax.jit
     def _init_variables(example: DeviceBatch, hier: Hierarchy, rngkey):
-        props = build_proposals(
+        props, _, _ = build_proposals(
             cfg,
             example.pos,
             jnp.zeros_like(example.pos),
@@ -224,8 +231,13 @@ def make_train_step(
     with_clustering: bool,
     grad_clip_value: float | None = None,
     class_weights=None,
+    epoch: int | None = None,
 ):
-    """Returns a jitted train step: (state, raw batch arrays) -> (state, metrics)."""
+    """Returns a jitted train step: (state, raw batch arrays) -> (state, metrics).
+
+    ``epoch`` (STATIC) gates the *_start_epoch mask features; the trainer
+    rebuilds the step when a gate flips (at most two extra compiles per run).
+    None = gates open whenever their boolean flag is set."""
     cw = None if class_weights is None else jnp.asarray(class_weights, jnp.float32)
 
     def step(state: TrainState, arrays) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
@@ -233,6 +245,7 @@ def make_train_step(
         hier = build_hierarchy(
             db.grid, cfg.num_down, use_bricks=cfg.use_bricks,
             brick_size=cfg.brick_size, brick_capacity_factor=cfg.brick_factor,
+            win_maps=cfg.win_enabled,
         )
 
         def loss_fn(params):
@@ -240,7 +253,7 @@ def make_train_step(
             out, new_stats = panoptic_forward(
                 cfg, model, variables, db, hier,
                 train=True, with_clustering=with_clustering,
-                momentum=state.bn_momentum,
+                momentum=state.bn_momentum, epoch=epoch,
             )
             total, losses = panoptic_losses(
                 cfg,
@@ -252,6 +265,7 @@ def make_train_step(
                 db.grid.batch,
                 db.grid.mask,
                 class_weights=cw,
+                epoch=epoch,
             )
             return total, (losses, new_stats)
 
@@ -277,32 +291,42 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_eval_forward(cfg: PanopticConfig, model: PointGroup3HeadsNet, with_clustering: bool = True):
-    """Jitted inference: (params, batch_stats, arrays) -> (DeviceBatch, PanopticOutput)."""
+def make_eval_forward(
+    cfg: PanopticConfig,
+    model: PointGroup3HeadsNet,
+    with_clustering: bool = True,
+    epoch: int | None = None,
+):
+    """Jitted inference: (params, batch_stats, arrays) -> (DeviceBatch,
+    PanopticOutput). ``epoch`` = the checkpoint's training epoch (gates the
+    *_start_epoch mask features exactly as during training); None = gates
+    open, matching a converged reference checkpoint."""
 
     def fwd(params, batch_stats, arrays):
         db = canonicalize(*arrays)
         hier = build_hierarchy(
             db.grid, cfg.num_down, use_bricks=cfg.use_bricks,
             brick_size=cfg.brick_size, brick_capacity_factor=cfg.brick_factor,
+            win_maps=cfg.win_enabled,
         )
         variables = {"params": params, "batch_stats": batch_stats}
         out, _ = panoptic_forward(
             cfg, model, variables, db, hier, train=False,
-            with_clustering=with_clustering,
+            with_clustering=with_clustering, epoch=epoch,
         )
         return db, out
 
     return jax.jit(fwd)
 
 
-@partial(jax.jit, static_argnames=("num_down", "brick_size", "brick_factor"))
-def prepare_example(arrays, num_down: int, brick_size: int = 2, brick_factor: float = 0.5):
+@partial(jax.jit, static_argnames=("num_down", "brick_size", "brick_factor", "win_maps"))
+def prepare_example(arrays, num_down: int, brick_size: int = 2, brick_factor: float = 0.5, win_maps: bool = False):
     """Jitted canonicalize + hierarchy build for standalone (non-step) use -
     eager dispatch is too slow on remote-compile TPU backends."""
     db = canonicalize(*arrays)
     hier = build_hierarchy(
-        db.grid, num_down, brick_size=brick_size, brick_capacity_factor=brick_factor
+        db.grid, num_down, brick_size=brick_size,
+        brick_capacity_factor=brick_factor, win_maps=win_maps,
     )
     return db, hier
 

@@ -8,6 +8,7 @@ Reports the prepare-phase step (no clustering) and the full step
 Timing protocol: see bench.py (chained dependency, 1 vs N+1 difference).
 """
 
+import os
 import sys
 import time
 
@@ -19,6 +20,11 @@ import optax
 sys.path.insert(0, ".")
 
 ITERS = 6
+# A/B knobs for the round-3 clustering/scorer budgets (PLAN.md):
+#   PST_RG_CAP      thing-row compaction budget for region growing (0 = off)
+#   PST_SCORER_MULT scorer-grid rows per membership row
+RG_CAP = int(os.environ.get("PST_RG_CAP", "0"))
+SCORER_MULT = float(os.environ.get("PST_SCORER_MULT", "1.0"))
 
 
 def main():
@@ -39,7 +45,9 @@ def main():
     cfg = PanopticConfig(
         num_classes=9, stuff_classes=(0, 7, 8), backbone="paper", feat_dim=4,
         in_feat=16, num_samples=num_tiles, max_instances=64, cluster_radius=0.18,
+        rg_point_cap=RG_CAP, scorer_capacity_mult=SCORER_MULT,
     )
+    print(f"rg_point_cap={RG_CAP} scorer_capacity_mult={SCORER_MULT}")
     model = PointGroup3HeadsNet(cfg)
     vb = build_inputs(num_tiles=num_tiles, capacity=capacity)
     arrays = tuple(jnp.asarray(a) for a in batch_arrays(vb))

@@ -95,7 +95,7 @@ def main():
 
     @jax.jit
     def f_ms(x):
-        dense, dvalid, _ = pack_by_sample(
+        dense, dvalid, _, _ = pack_by_sample(
             embeds + 1e-30 * x[:, :1], batch, thing, cfg.num_samples, cfg.ms_point_cap
         )
         ms = mean_shift(dense, dvalid, bandwidth=cfg.bandwidth,
@@ -105,12 +105,12 @@ def main():
 
     @jax.jit
     def f_props(x):
-        props = build_proposals(cfg, pos + x, offsets, embeds, sem_logp, batch, valid)
+        props, _, _ = build_proposals(cfg, pos + x, offsets, embeds, sem_logp, batch, valid)
         s = jnp.sum(props.prop_id.astype(jnp.float32))
         return x + 1e-30 * s.astype(x.dtype), s
 
     props0 = jax.jit(
-        lambda: build_proposals(cfg, pos, offsets, embeds, sem_logp, batch, valid)
+        lambda: build_proposals(cfg, pos, offsets, embeds, sem_logp, batch, valid)[0]
     )()
 
     @jax.jit

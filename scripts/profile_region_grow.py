@@ -126,7 +126,7 @@ def main():
     def mk_graph(with_reverse):
         @jax.jit
         def f(x):
-            fwd, rev = radius_graph(
+            fwd, rev, _ = radius_graph(
                 pos + x, ids, thing, cfg.cluster_radius,
                 k=cfg.rg_k_neighbors, cell_cap=cfg.rg_cell_cap, bits=fbits,
                 with_reverse=with_reverse,
@@ -137,7 +137,7 @@ def main():
 
     from panopticsegforlargescalepointcloud_tpu.cluster.region_grow import _grow_on_edges
 
-    fwd0, rev0 = jax.jit(lambda: radius_graph(
+    fwd0, rev0, _ = jax.jit(lambda: radius_graph(
         pos, ids, thing, cfg.cluster_radius, k=cfg.rg_k_neighbors,
         cell_cap=cfg.rg_cell_cap, bits=fbits,
     ))()

@@ -142,3 +142,44 @@ class TestMeshParallelEval:
         for k, v in seq[0].items():
             if isinstance(v, float):
                 assert par[0][k] == pytest.approx(v, abs=1e-6), k
+
+    def test_matches_sequential_no_scorer(self, tmp_path, rng):
+        """use_score_net=False configs (Setting I family) return scores=None;
+        the sharded path must reproduce the sequential extract_clusters
+        early-exit (ALL proposals, no NMS/score filter), not substitute
+        all-ones scores (ADVICE r2 medium)."""
+        from panopticsegforlargescalepointcloud_tpu.data import collate_tiles
+        from panopticsegforlargescalepointcloud_tpu.parallel import make_mesh
+
+        ply = str(tmp_path / "forest.ply")
+        make_forest_ply(ply, rng, n_trees=4, extent=14.0)
+        ds = PanopticFileDataset(
+            TREEINS_SPEC, [ply], grid_size=0.2, radius=7.0, keep_raw=True, rng=rng
+        )
+        cfg = PanopticConfig(
+            num_classes=2, stuff_classes=(0,), backbone="tiny", feat_dim=4,
+            in_feat=8, num_samples=1, max_instances=16, max_props_rg=32,
+            ms_max_seeds=32, ms_max_clusters=8, ms_point_cap=2048,
+            cluster_radius=0.3, min_cluster_points=10,
+            use_score_net=False,
+        )
+        model = PointGroup3HeadsNet(cfg)
+        tile = ds.sample_train_tile(rng)
+        vb = collate_tiles([tile], capacity=4096, num_tiles=1)
+        db, hier = prepare_example(batch_arrays(vb), cfg.num_down)
+        state = init_state(
+            cfg, model, optax.adam(1e-3), db, hier, jax.random.PRNGKey(0)
+        )
+
+        seq = FullSceneEvaluator(
+            cfg, model, state.params, state.batch_stats, ds, capacity=4096
+        ).run(out_dir=str(tmp_path / "seq_ns"))
+        mesh = make_mesh(jax.devices()[:4])
+        par = FullSceneEvaluator(
+            cfg, model, state.params, state.batch_stats, ds, capacity=4096,
+            mesh=mesh,
+        ).run(out_dir=str(tmp_path / "par_ns"))
+        assert len(seq) == len(par) == 1
+        for k, v in seq[0].items():
+            if isinstance(v, float):
+                assert par[0][k] == pytest.approx(v, abs=1e-6), k

@@ -212,11 +212,14 @@ def main():
     ap.add_argument("--weight-set", default="latest")
     ap.add_argument("--offset-perm", default=None,
                     help="comma-separated K permutation for ME kernel regions")
-    ap.add_argument("--me-order", action="store_true", default=True,
+    ap.add_argument("--me-order", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="apply the ME x-fastest -> ours z-fastest kernel "
                     "permutation (me_to_ours_perm; validated by "
-                    "tests/test_me_parity.py). On by default; --offset-perm "
-                    "overrides.")
+                    "tests/test_me_parity.py). On by default; disable with "
+                    "--no-me-order for checkpoints whose conv weights are "
+                    "already in this framework's K order; --offset-perm "
+                    "overrides both.")
     args = ap.parse_args()
 
     import torch
