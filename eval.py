@@ -113,9 +113,15 @@ def main():
     reports = evaluator.run(
         out_dir=out_dir,
         ply_output=bool(cfg.get("tracker_options", {}).get("make_submission", True)),
-        # the reference hard-codes the 0.1 IoU adoption threshold
-        # (panoptic_tracker_pointgroup_treeins.py:474); None selects it
-        th_merge=None,
+        # block-merge IoU adoption threshold: the model config's
+        # block_merge_th (reference get_opt_mergeTh, PointGroup3heads.py:88).
+        # NOTE the reference's treeins tracker then ignores the passed value
+        # and hard-codes 0.1 in its rescan loop
+        # (panoptic_tracker_pointgroup_treeins.py:474) - a declared-vs-
+        # effective mismatch; we honor the declared config so the key is live
+        # (set block_merge_th: 0.1 to reproduce the reference's effective
+        # behavior exactly).
+        th_merge=pcfg.block_merge_th,
         voting_runs=int(cfg.get("voting_runs", 1)),
     )
     print(json.dumps(reports, indent=2))

@@ -139,10 +139,17 @@ def panoptic_config_from_yaml(
         use_mask_filter_score_feature=bool(
             m.get("use_mask_filter_score_feature", False)
         ),
+        use_mask_filter_score_feature_start_epoch=int(
+            m.get("use_mask_filter_score_feature_start_epoch", 200)
+        ),
         mask_filter_score_feature_thre=float(
             m.get("mask_filter_score_feature_thre", 0.5)
         ),
         cal_iou_based_on_mask=bool(m.get("cal_iou_based_on_mask", False)),
+        cal_iou_based_on_mask_start_epoch=int(
+            m.get("cal_iou_based_on_mask_start_epoch", 200)
+        ),
+        rg_point_cap=int(m.get("rg_point_cap", 0)),
         min_iou_threshold=float(m.get("min_iou_threshold", 0.25)),
         max_iou_threshold=float(m.get("max_iou_threshold", 0.75)),
         block_merge_th=float(m.get("block_merge_th", 0.01) or 0.01),

@@ -66,7 +66,104 @@ def make_lr_schedule(
             decay_rate=float(p.get("gamma", 0.5)),
             staircase=True,
         )
+    if "cyclic" in n:
+        # torch CyclicLR triangular mode (reference conf/lr_scheduler/
+        # cyclic.yaml: base_lr/max_lr), stepped per epoch like the other
+        # schedulers here (reference update_lr_scheduler_on = on_epoch)
+        import jax.numpy as jnp
+
+        lo = float(p.get("base_lr", base_lr))
+        hi = float(p.get("max_lr", 0.1))
+        up = max(int(p.get("step_size_up", 10)), 1)
+        mode = str(p.get("mode", "triangular"))
+        gamma = float(p.get("gamma", 1.0))
+
+        def cyclic(step):
+            e = step // spe
+            cycle = e // (2 * up)
+            x = jnp.abs(e / up - 2 * cycle - 1)  # 1 -> 0 -> 1 over a cycle
+            amp = hi - lo
+            if mode == "triangular2":
+                amp = amp / (2.0 ** cycle)
+            elif mode == "exp_range":
+                amp = amp * (gamma ** e)
+            return lo + amp * jnp.maximum(0.0, 1.0 - x)
+
+        return cyclic
+    if "plateau" in n:
+        # ReduceLROnPlateau is metric-driven: the *schedule* is the base lr;
+        # the trainer applies the multiplicative plateau scale through
+        # PlateauController + apply_plateau_scale (an inject_hyperparams
+        # optax.scale stage appended by make_optimizer via needs_plateau)
+        return lambda step: base_lr
     raise ValueError(f"unknown lr scheduler class {name!r}")
+
+
+def needs_plateau(name: str) -> bool:
+    return "plateau" in (name or "").lower()
+
+
+class PlateauController:
+    """Host-side ReduceLROnPlateau (reference conf/lr_scheduler/plateau.yaml,
+    torch semantics: factor/patience/threshold on a monitored metric). The
+    trainer calls :meth:`step` with the validation loss after each val epoch
+    and rewrites the plateau scale into opt_state via
+    :func:`apply_plateau_scale`."""
+
+    def __init__(self, params: Dict[str, Any] | None):
+        p = params or {}
+        self.mode = str(p.get("mode", "min"))
+        self.factor = float(p.get("factor", 0.1))
+        self.patience = int(p.get("patience", 10))
+        self.threshold = float(p.get("threshold", 1e-4))
+        self.min_scale = float(p.get("min_lr", 0.0))
+        self.best: float | None = None
+        self.bad = 0
+        self.scale = 1.0
+
+    def _improved(self, metric: float) -> bool:
+        if self.best is None:
+            return True
+        if self.mode == "max":
+            return metric > self.best * (1.0 + self.threshold)
+        return metric < self.best * (1.0 - self.threshold)
+
+    def step(self, metric: float) -> float:
+        """Update with the latest monitored metric; returns the current
+        cumulative lr scale."""
+        if self._improved(metric):
+            self.best = metric
+            self.bad = 0
+        else:
+            self.bad += 1
+            if self.bad > self.patience:
+                self.scale = max(self.scale * self.factor, self.min_scale)
+                self.bad = 0
+        return self.scale
+
+
+def apply_plateau_scale(opt_state, scale: float):
+    """Rewrite the inject_hyperparams(optax.scale) step_size anywhere in the
+    (possibly MultiSteps-nested) opt_state pytree."""
+    import jax.numpy as jnp
+
+    def visit(node):
+        if (
+            hasattr(node, "hyperparams")
+            and isinstance(getattr(node, "hyperparams", None), dict)
+            and "step_size" in node.hyperparams
+            and hasattr(node, "_replace")
+        ):
+            hp = dict(node.hyperparams)
+            hp["step_size"] = jnp.asarray(scale, jnp.float32)
+            return node._replace(hyperparams=hp)
+        if isinstance(node, tuple) and hasattr(node, "_fields"):  # NamedTuple
+            return type(node)(*[visit(v) for v in node])
+        if isinstance(node, tuple):
+            return tuple(visit(v) for v in node)
+        return node
+
+    return visit(opt_state)
 
 
 def make_optimizer(
@@ -74,6 +171,7 @@ def make_optimizer(
     schedule: Callable,
     weight_decay: float = 0.0,
     grad_accum: int = 1,
+    plateau_stage: bool = False,
 ) -> optax.GradientTransformation:
     o = (optimizer or "Adam").lower()
     if o == "adam":
@@ -86,17 +184,33 @@ def make_optimizer(
         tx = optax.rmsprop(schedule)
     else:
         raise ValueError(f"unknown optimizer {optimizer!r}")
+    if plateau_stage:
+        # multiplicative plateau scale as an injected hyperparam: the trainer
+        # rewrites it in opt_state after each validation (apply_plateau_scale)
+        tx = optax.chain(
+            tx, optax.inject_hyperparams(optax.scale)(step_size=1.0)
+        )
     if grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=int(grad_accum))
     return tx
 
 
-def build_from_config(tcfg, steps_per_epoch: int) -> Tuple[optax.GradientTransformation, Callable]:
-    """(tx, schedule) from a TrainingConfig."""
+def build_from_config(
+    tcfg, steps_per_epoch: int
+) -> Tuple[optax.GradientTransformation, Callable, "PlateauController | None"]:
+    """(tx, schedule, plateau) from a TrainingConfig. ``plateau`` is a
+    PlateauController for ReduceLROnPlateau configs (the trainer feeds it the
+    monitored validation loss), else None."""
     schedule = make_lr_schedule(
         tcfg.scheduler, tcfg.scheduler_params, tcfg.lr, steps_per_epoch
     )
-    tx = make_optimizer(
-        tcfg.optimizer, schedule, tcfg.weight_decay, tcfg.grad_accum
+    plateau = (
+        PlateauController(tcfg.scheduler_params)
+        if needs_plateau(tcfg.scheduler)
+        else None
     )
-    return tx, schedule
+    tx = make_optimizer(
+        tcfg.optimizer, schedule, tcfg.weight_decay, tcfg.grad_accum,
+        plateau_stage=plateau is not None,
+    )
+    return tx, schedule, plateau

@@ -150,7 +150,7 @@ class Trainer:
         # (reference base_model.py:299-355, conf/lr_scheduler/*)
         from .optim import build_from_config
 
-        self.tx, self.lr_schedule = build_from_config(self.tcfg, steps_per_epoch)
+        self.tx, self.lr_schedule, self.plateau = build_from_config(self.tcfg, steps_per_epoch)
 
         cw = None
         if self.tcfg.use_class_weights and hasattr(self.dataset, "class_weights"):
@@ -164,20 +164,31 @@ class Trainer:
                 with_clustering=False, grad_clip_value=self._clip(),
                 class_weights=cw,
             )
-            self._full_step = make_parallel_train_step(
-                self.pcfg, self.model, self.tx, self.mesh,
-                with_clustering=True, grad_clip_value=self._clip(),
-                class_weights=cw,
-            )
+            self._full_steps = {}
+
+            def _build_full(epoch):
+                return make_parallel_train_step(
+                    self.pcfg, self.model, self.tx, self.mesh,
+                    with_clustering=True, grad_clip_value=self._clip(),
+                    class_weights=cw, epoch=epoch,
+                )
+
+            self._build_full = _build_full
         else:
             self._prepare_step = make_train_step(
                 self.pcfg, self.model, self.tx, with_clustering=False,
                 grad_clip_value=self._clip(), class_weights=cw,
             )
-            self._full_step = make_train_step(
-                self.pcfg, self.model, self.tx, with_clustering=True,
-                grad_clip_value=self._clip(), class_weights=cw,
-            )
+            self._full_steps = {}
+
+            def _build_full(epoch):
+                return make_train_step(
+                    self.pcfg, self.model, self.tx, with_clustering=True,
+                    grad_clip_value=self._clip(), class_weights=cw,
+                    epoch=epoch,
+                )
+
+            self._build_full = _build_full
         self._eval_fwd = make_eval_forward(self.pcfg, self.model, with_clustering=True)
         self._eval_fwd_basic = make_eval_forward(
             self.pcfg, self.model, with_clustering=False
@@ -191,11 +202,13 @@ class Trainer:
             jax.random.PRNGKey(self.tcfg.seed), self.tcfg.bn_momentum,
         )
         wandb_cfg = cfg.get("training", {}).get("wandb", {}) or {}
+        tb_cfg = cfg.get("training", {}).get("tensorboard", {}) or {}
         self.logger = WandbLogger(
             enabled=bool(wandb_cfg.get("log", False)),
             project=str(wandb_cfg.get("project", "panoptic-tpu")),
             config=cfg,
             run_dir=checkpoint_dir or self.tcfg.checkpoint_dir or ".",
+            tensorboard=bool(tb_cfg.get("log", False)),
         )
         self.timers = StageTimers()
         viz_cfg = cfg.get("visualization", {}) or {}
@@ -321,6 +334,18 @@ class Trainer:
                 val = self.eval_epoch(epoch, num_batches=max(nb // 10, 1))
                 stage_metrics["val"] = val
                 log.info("val: %s", {k: round(v, 4) for k, v in val.items()})
+                if self.plateau is not None:
+                    # ReduceLROnPlateau on the monitored validation loss
+                    monitored = val.get("loss", val.get("semantic_loss"))
+                    if monitored is not None:
+                        from .optim import apply_plateau_scale
+
+                        scale = self.plateau.step(float(monitored))
+                        self.state = self.state.replace(
+                            opt_state=apply_plateau_scale(
+                                self.state.opt_state, scale
+                            )
+                        )
             if self.checkpoint:
                 weights = {
                     "params": self.state.params,
@@ -331,9 +356,25 @@ class Trainer:
                 )
         return self.state
 
+    def _full_step_for(self, epoch: int):
+        """Full-phase step, cached by the *_start_epoch gate state: the
+        reference flips mask behaviors when epoch crosses their start epochs
+        (PointGroup3heads.py:430,594); each distinct gate combination is one
+        extra compilation, at most 4 per run."""
+        p = self.pcfg
+        key = (
+            p.mask_supervise and p.use_mask_filter_score_feature
+            and epoch > p.use_mask_filter_score_feature_start_epoch,
+            p.mask_supervise and p.cal_iou_based_on_mask
+            and epoch > p.cal_iou_based_on_mask_start_epoch,
+        )
+        if key not in self._full_steps:
+            self._full_steps[key] = self._build_full(epoch)
+        return self._full_steps[key]
+
     def _train_epoch(self, epoch: int, num_batches: int) -> Dict[str, float]:
         step = (
-            self._full_step
+            self._full_step_for(epoch)
             if epoch > self.pcfg.prepare_epoch
             else self._prepare_step
         )

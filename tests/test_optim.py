@@ -80,7 +80,7 @@ class TestGradAccum:
         }
         t = training_config_from_yaml(cfg)
         assert (t.optimizer, t.grad_accum, t.lr) == ("AdamW", 3, 2e-3)
-        tx, sched = build_from_config(t, steps_per_epoch=4)
+        tx, sched, plateau = build_from_config(t, steps_per_epoch=4)
         assert np.isclose(float(sched(0)), 2e-3)
         p = {"w": jnp.ones(2)}
         assert tx.init(p) is not None
@@ -106,3 +106,60 @@ class TestTrainerLrTrace:
         m2 = tr._train_epoch(2, 2)
         assert np.isclose(m1["lr"], 1e-3)  # logged after epoch-1's 2 steps
         assert np.isclose(m2["lr"], 1e-4)
+
+
+class TestCyclicAndPlateau:
+    def test_cyclic_triangle(self):
+        import jax.numpy as jnp
+
+        from panopticsegforlargescalepointcloud_tpu.train.optim import (
+            make_lr_schedule,
+        )
+
+        s = make_lr_schedule(
+            "CyclicLR",
+            {"base_lr": 0.01, "max_lr": 0.1, "step_size_up": 5},
+            1e-3, 1,
+        )
+        lrs = [float(s(jnp.asarray(e))) for e in range(11)]
+        assert lrs[0] == pytest.approx(0.01)
+        assert lrs[5] == pytest.approx(0.1)  # peak after step_size_up epochs
+        assert lrs[10] == pytest.approx(0.01)  # back to base
+        assert lrs[2] < lrs[3] < lrs[4] < lrs[5] > lrs[6] > lrs[7]
+
+    def test_plateau_controller_and_opt_state_scale(self):
+        import dataclasses as dc
+
+        import jax.numpy as jnp
+        import numpy as np
+
+        from panopticsegforlargescalepointcloud_tpu.config.schema import (
+            TrainingConfig,
+        )
+        from panopticsegforlargescalepointcloud_tpu.train.optim import (
+            apply_plateau_scale,
+            build_from_config,
+        )
+
+        t = TrainingConfig(
+            scheduler="ReduceLROnPlateau",
+            scheduler_params={"mode": "min", "factor": 0.5, "patience": 1},
+            lr=1.0, optimizer="SGD",
+        )
+        tx, sched, plateau = build_from_config(t, steps_per_epoch=1)
+        assert plateau is not None
+        # improving -> scale stays 1; then 2 bad epochs (> patience) -> 0.5
+        assert plateau.step(1.0) == 1.0
+        assert plateau.step(0.5) == 1.0
+        assert plateau.step(0.6) == 1.0
+        assert plateau.step(0.6) == 0.5
+
+        params = {"w": jnp.ones((3,))}
+        st = tx.init(params)
+        st2 = apply_plateau_scale(st, plateau.scale)
+        g = {"w": jnp.ones((3,))}
+        up1, _ = tx.update(g, st, params)
+        up2, _ = tx.update(g, st2, params)
+        # sgd(lr=1) update = -1; plateau halves it
+        np.testing.assert_allclose(np.asarray(up1["w"]), -1.0)
+        np.testing.assert_allclose(np.asarray(up2["w"]), -0.5)
