@@ -97,6 +97,7 @@ def measure_phases(cfg, model, state, arrays, valid_voxels, iters):
         hier = build_hierarchy(
             db.grid, cfg.num_down, use_bricks=cfg.use_bricks,
             brick_size=cfg.brick_size, brick_capacity_factor=cfg.brick_factor,
+            win_maps=cfg.win_enabled,
         )
         s = sum(jnp.sum(m.astype(jnp.float32)) for m in
                 [g.mask for g in hier.grids]) + jnp.sum(
@@ -124,6 +125,7 @@ def measure_phases(cfg, model, state, arrays, valid_voxels, iters):
             hier = build_hierarchy(
                 db.grid, cfg1.num_down, use_bricks=cfg1.use_bricks,
                 brick_size=cfg1.brick_size, brick_capacity_factor=cfg1.brick_factor,
+                win_maps=cfg1.win_enabled,
             )
             out, _ = panoptic_forward(
                 cfg1, model1, {"params": params, "batch_stats": stats}, db, hier,
@@ -337,6 +339,7 @@ def main():
         hier = build_hierarchy(
             db.grid, cfg.num_down, use_bricks=cfg.use_bricks,
             brick_size=cfg.brick_size, brick_capacity_factor=cfg.brick_factor,
+            win_maps=cfg.win_enabled,
         )
         variables = {"params": params, "batch_stats": batch_stats}
         x, sem, off, emb = model.apply(

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..ops.brick import BrickLevel, brick_conv
 from ..ops.conv import sparse_conv
+from ..ops.winconv import WindowedMap, windowed_conv
 from .norm import MaskedBatchNorm
 
 # kaiming_normal with fan_out over the (K * Cin, Cout) matrix: variance
@@ -44,12 +45,17 @@ class SparseConv(nn.Module):
     compute_dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, ctx, ctx_t=None) -> jnp.ndarray:
-        """``ctx`` is either a [N, K] row kernel map (strided convs) or a
-        BrickLevel (submanifold convs -> brick-dense path). ``ctx_t`` is the
-        transpose kernel map (the map itself for submanifold convs, the
-        down/up partner for strided ones) - routes the backward pass through
-        gathers instead of scatter-adds (ops/conv.py)."""
+    def __call__(self, x: jnp.ndarray, ctx, ctx_t=None, train: bool = False) -> jnp.ndarray:
+        """``ctx`` is a [N, K] row kernel map, a WindowedMap (Pallas
+        windowed-streaming kernel, ops/winconv.py), or a BrickLevel
+        (brick-dense path). ``ctx_t`` is the transpose kernel map (the map
+        itself for submanifold convs, the down/up partner for strided ones) -
+        routes the backward pass through gathers instead of scatter-adds.
+
+        ``train`` is STATIC: the windowed kernel's backward is slower than
+        row gathers above C=32 on v5e (scripts/bench_winconv.py), so training
+        convs at wider channels fall back to the row path; eval always takes
+        the windowed kernel when maps carry windows."""
         cin = x.shape[-1]
         w = self.param(
             "kernel", conv_init, (self.kernel_volume, cin, self.features), jnp.float32
@@ -59,10 +65,27 @@ class SparseConv(nn.Module):
             out = brick_conv(
                 x, ctx, w, compute_dtype=cdt, out_dtype=jnp.float32
             )
+        elif isinstance(ctx, WindowedMap):
+            t_ok = ctx_t is None or isinstance(ctx_t, WindowedMap)
+            win_ok = t_ok and (
+                not train or max(cin, self.features) <= 32
+            )
+            if win_ok:
+                out = windowed_conv(
+                    x.astype(cdt), ctx, w.astype(cdt), ctx_t,
+                    out_dtype=jnp.float32,
+                )
+            else:
+                idx_t = ctx_t.idx if isinstance(ctx_t, WindowedMap) else ctx_t
+                out = sparse_conv(
+                    x.astype(cdt), ctx.idx, w.astype(cdt), mode=self.gemm_mode,
+                    out_dtype=jnp.float32, nbr_idx_t=idx_t,
+                )
         else:
+            idx_t = ctx_t.idx if isinstance(ctx_t, WindowedMap) else ctx_t
             out = sparse_conv(
                 x.astype(cdt), ctx, w.astype(cdt), mode=self.gemm_mode,
-                out_dtype=jnp.float32, nbr_idx_t=ctx_t,
+                out_dtype=jnp.float32, nbr_idx_t=idx_t,
             )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
@@ -81,7 +104,7 @@ class ConvBNReLU(nn.Module):
         h = SparseConv(
             self.features, self.kernel_volume, gemm_mode=self.gemm_mode,
             compute_dtype=self.compute_dtype,
-        )(x, ctx, ctx_t)
+        )(x, ctx, ctx_t, train)
         h = MaskedBatchNorm()(h, mask, train, momentum)
         return nn.relu(h)
 

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from .brick import BrickLevel, build_brick_level
 from .hashing import BitLayout, DEFAULT_BITS
+from .winconv import make_windowed, supports_windowing
 from .sparse import (
     KERNEL_OFFSETS_K3,
     SparseGrid,
@@ -86,6 +87,16 @@ def default_capacities(n0: int, num_down: int, floor: int = 1024) -> Tuple[int, 
     return tuple(caps)
 
 
+# Window geometry for the Pallas streaming conv (ops/winconv.py), validated
+# on bench-scale maps (scripts/bench_winconv.py: zero correction entries):
+# submanifold windows track the tile (w = 2*tr); down maps gather ~3.5x the
+# rows per tile; union widths cover the cross-offset plane shift.
+_WIN_TR = 256
+_WIN_SUBM = (512, 4096)  # (w, u)
+_WIN_DOWN = (2048, 8192)
+_WIN_UP = (512, 4096)
+
+
 def build_hierarchy(
     grid0: SparseGrid,
     num_down: int,
@@ -96,6 +107,7 @@ def build_hierarchy(
     brick_capacity_factor: float = 0.5,
     brick_floor: int = 512,
     map_mode: str = "derived",
+    win_maps: bool = False,
 ) -> Hierarchy:
     """Build grids + per-level submanifold contexts + strided kernel maps.
 
@@ -111,6 +123,13 @@ def build_hierarchy(
     formulation (ops/brick.py) - exact but benchmarked ~2x slower on v5e
     (PLAN.md); kept behind this flag for hardware where contiguous brick
     gathers win.
+
+    win_maps=True: wrap every large-enough kernel map (submanifold AND
+    strided) in a WindowedMap so convs run the Pallas windowed-streaming
+    kernel (ops/winconv.py; 3.6-4.9x over row gathers on v5e,
+    scripts/bench_winconv.py). Maps too small for windowing stay raw and
+    convs fall back to row gathers there. The maps' correction overflows
+    join the hierarchy ``overflow`` vector.
     """
     if capacities is None:
         capacities = default_capacities(grid0.capacity, num_down)
@@ -172,6 +191,30 @@ def build_hierarchy(
     else:
         bricks = same_maps
         overflows.append(jnp.zeros((), jnp.int32))
+
+    if win_maps and not use_bricks:
+        def windowify(maps, n_ins, w, u):
+            out = []
+            for m, n_in in zip(maps, n_ins):
+                if m is not None and supports_windowing(
+                    m.shape[0], n_in, _WIN_TR, u
+                ):
+                    wm = make_windowed(m, n_in, _WIN_TR, w, u)
+                    overflows.append(wm.overflow)
+                    out.append(wm)
+                else:
+                    out.append(m)
+            return out
+
+        bricks = windowify(
+            bricks, [capacities[l] for l in range(num_down + 1)], *_WIN_SUBM
+        )
+        down_maps = windowify(
+            down_maps, [capacities[l] for l in range(num_down)], *_WIN_DOWN
+        )
+        up_maps = windowify(
+            up_maps, [capacities[l + 1] for l in range(num_down)], *_WIN_UP
+        )
 
     return Hierarchy(
         grids=tuple(grids),

@@ -1,0 +1,443 @@
+"""Windowed-streaming sparse convolution: the Pallas TPU kernel.
+
+Replaces per-row kernel-map gathers (``ops/conv.py``) for large levels. The
+key structural fact (CLAUDE.md invariant): SparseGrid rows are key-sorted, and
+a kernel map column k targets ``key + const_k`` - a monotone transform - so
+``idx[:, k]`` is NON-DECREASING over valid rows. For a tile of TR consecutive
+output rows, the column-k neighbors therefore live in a contiguous input-row
+WINDOW of roughly TR rows - and the 27 per-offset windows of one tile overlap
+heavily (they all track the same spatial region, shifted by at most a couple
+of grid planes). The kernel exploits both facts:
+
+* ONE union-window DMA per tile (not per offset: per-DMA latency dominated a
+  27-DMA/tile variant - 14k small DMAs cost more than the row gathers they
+  replaced), double-buffered across grid steps so the next tile's stream
+  overlaps this tile's compute;
+* per-offset views are VMEM slices of the union buffer; rows are selected by
+  a one-hot matmul on the MXU (TPUs have no VMEM gather), the voxel inside
+  the lane-packed row by P static masked selects, and the kernel-offset
+  weights then apply as a small [C, Cout] GEMM;
+* the f32 accumulator lives in VMEM across all 27 offsets - the XLA
+  formulation pays ~2x its gather bytes in accumulator HBM traffic alone
+  (scripts/bench_gather_width.py).
+
+Lane packing: a [N, C] bf16 activation is stored (8,128)-tile-padded in HBM,
+so row gathers and row DMAs at C=16 move 8x junk (CLAUDE.md). The kernel
+instead reads the activation reshaped [N/P, P*C] with P = 128//C voxels per
+fully-lane-packed row, so the union stream carries no padding waste.
+
+Out-of-window entries (union buffer too small for a pathological tile; rare
+by construction) are EXACTLY repaired by a small XLA correction pass over a
+packed [corr_cap] entry list; entries beyond the cap are counted in
+``overflow`` - the conv is exact whenever ``overflow == 0``, which tests
+assert and metrics surface.
+
+Reference behavior matched: MinkowskiEngine gather-GEMM-scatter convolution
+(``/root/reference/torch_points3d/modules/MinkowskiEngine/api_modules.py:
+235-311``); backward runs through the TRANSPOSE kernel map exactly like
+ops/conv.py (submanifold maps are self-transpose, down/up maps are partners).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# window starts are aligned to 64 = 8 sublanes x the max packing factor, so
+# packed-row starts/offsets (ws // P) are provable multiples of the (8, 128)
+# sublane tiling for any P in {1, 2, 4, 8} (Mosaic requires it)
+_ALIGN = 64
+
+
+@flax.struct.dataclass
+class WindowedMap:
+    """A kernel map plus per-tile window metadata for the streaming kernel.
+
+    Attributes:
+      idx: [N_out, K] int32 input-row per (output row, offset); -1 absent.
+      lidx: [N_out, K] int32 index local to this row's tile+offset window;
+        -1 absent OR out-of-window.
+      us: [T] int32 union-window start per tile (64-aligned, + u <= n_in).
+      offk: [T, K] int32 per-offset window offset inside the union buffer
+        (64-aligned, + w <= u).
+      corr: [corr_cap] int32 flat entry ids (i * K + k) needing the XLA
+        correction pass; -1 padding.
+      corr_count: [] int32 number of live correction entries.
+      overflow: [] int32 correction entries beyond corr_cap (conv inexact
+        iff > 0; surfaced like the capacity overflow counters).
+      n_in / tr / w / u: static geometry (input rows, tile rows, per-offset
+        window rows, union window rows).
+    """
+
+    idx: jnp.ndarray
+    lidx: jnp.ndarray
+    us: jnp.ndarray
+    offk: jnp.ndarray
+    corr: jnp.ndarray
+    corr_count: jnp.ndarray
+    overflow: jnp.ndarray
+    n_in: int = flax.struct.field(pytree_node=False)
+    tr: int = flax.struct.field(pytree_node=False)
+    w: int = flax.struct.field(pytree_node=False)
+    u: int = flax.struct.field(pytree_node=False)
+
+    @property
+    def k(self) -> int:
+        return self.idx.shape[1]
+
+    @property
+    def n_out(self) -> int:
+        return self.idx.shape[0]
+
+
+def supports_windowing(
+    n_out: int, n_in: int, tr: int = 256, u: int = 2048
+) -> bool:
+    """Static predicate: shapes the kernel can run (callers fall back to the
+    row-gather conv otherwise - tiny top levels are cheaper there anyway)."""
+    return n_out % tr == 0 and n_in >= u and n_in % _ALIGN == 0
+
+
+def make_windowed(
+    idx: jnp.ndarray,
+    n_in: int,
+    tr: int = 256,
+    w: int = 512,
+    u: int = 2048,
+    corr_cap: int = 1024,
+) -> WindowedMap:
+    """Build window metadata for a monotone kernel map (one XLA pass).
+
+    ``w`` bounds one offset's window (~tr + local density fluctuation);
+    ``u`` bounds the union of all K windows of a tile (w + the cross-offset
+    shift, ~2 grid planes of rows for submanifold maps). Entries that fall
+    outside land on the exact correction list.
+    """
+    n_out, k = idx.shape
+    assert w % _ALIGN == 0 and u % _ALIGN == 0 and w <= u, (w, u)
+    assert supports_windowing(n_out, n_in, tr, u), (n_out, n_in, tr, u)
+    t = n_out // tr
+    tiles = idx.reshape(t, tr, k)
+    valid_t = tiles >= 0
+    mn = jnp.min(jnp.where(valid_t, tiles, jnp.int32(n_in)), axis=1)  # [t, k]
+    ws = jnp.minimum(mn, max(n_in - w, 0))
+    ws = (ws // _ALIGN) * _ALIGN
+    us = jnp.min(ws, axis=1)  # [t], already 64-aligned
+    us = jnp.minimum(us, max(n_in - u, 0))
+    offk = jnp.clip(ws - us[:, None], 0, u - w)
+    eff = us[:, None] + offk  # effective per-offset window start
+    lidx = idx - jnp.repeat(eff, tr, axis=0)
+    valid = idx >= 0
+    in_win = valid & (lidx >= 0) & (lidx < w)
+    lidx = jnp.where(in_win, lidx, -1)
+
+    flag = (valid & ~in_win).reshape(-1)
+    cpos = jnp.cumsum(flag.astype(jnp.int32)) - 1
+    tgt = jnp.where(flag & (cpos < corr_cap), cpos, corr_cap)
+    corr = jnp.full((corr_cap + 1,), -1, jnp.int32).at[tgt].set(
+        jnp.arange(n_out * k, dtype=jnp.int32), mode="drop"
+    )[:corr_cap]
+    count = jnp.sum(flag.astype(jnp.int32))
+    overflow = jnp.maximum(count - corr_cap, 0)
+    return WindowedMap(
+        idx=idx, lidx=lidx, us=us, offk=offk, corr=corr,
+        corr_count=jnp.minimum(count, corr_cap), overflow=overflow,
+        n_in=n_in, tr=tr, w=w, u=u,
+    )
+
+
+def _pack_factor(c: int) -> int:
+    p = max(1, 128 // c)
+    while _ALIGN % p:
+        p -= 1
+    return min(p, 8)
+
+
+def _gather_masked(lidx_k, ubuf, slot_buf, offp, wp, p, c, tr):
+    """One offset's row gather from the union buffer: one-hot matmul over the
+    [wp, p*c] window view, then a full-width lane mask zeroing every slot
+    block except the target voxel's -> [tr, p*c] bf16 with exactly one live
+    C-block per row.
+
+    The mask replaces narrow per-slot selects + a [tr, c] @ [c, cout] GEMM:
+    16-lane ops and K-dim-16 matmuls ran ~8x slower than one full-width
+    compare/multiply + a K-dim-128 GEMM against slot-tiled weights
+    (scripts/bench_winkernel_parts.py: 15.4 -> 1.9 ms at L0 scale)."""
+    grp = lidx_k // p  # -1 -> -1: matches no iota column -> zero row
+    win = ubuf[slot_buf, pl.ds(offp, wp), :]
+    oh = (
+        grp[:, None] == jax.lax.broadcasted_iota(jnp.int32, (tr, wp), 1)
+    ).astype(jnp.bfloat16)
+    g = jnp.dot(oh, win, preferred_element_type=jnp.float32).astype(
+        jnp.bfloat16
+    )  # [tr, p*c]: the packed row holding each target voxel
+    if p == 1:
+        return g
+    slot = lidx_k - grp * p
+    lanes = g.shape[1]  # p*c padded to the 128-lane tile (_lanes_pad)
+    lane_grp = jax.lax.broadcasted_iota(jnp.int32, (tr, lanes), 1) // c
+    return g * (lane_grp == slot[:, None]).astype(jnp.bfloat16)
+
+
+def _union_dma(us_ref, feats_ref, ubuf, sems, t, p, up):
+    start = pl.multiple_of(us_ref[t] // p, 8)
+    return pltpu.make_async_copy(
+        feats_ref.at[pl.ds(start, up), :], ubuf.at[t % 2], sems.at[t % 2]
+    )
+
+
+def _fwd_kernel(
+    us_ref, offk_ref, lidx_ref, w_ref, feats_ref, out_ref, ubuf, sems,
+    *, nk: int, tr: int, wp: int, up: int, p: int, c: int, cout: int,
+):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        _union_dma(us_ref, feats_ref, ubuf, sems, 0, p, up).start()
+
+    _union_dma(us_ref, feats_ref, ubuf, sems, t, p, up).wait()
+
+    @pl.when(t + 1 < nt)
+    def _():
+        _union_dma(us_ref, feats_ref, ubuf, sems, t + 1, p, up).start()
+
+    acc = jnp.zeros((tr, cout), jnp.float32)
+    for kk in range(nk):
+        offp = pl.multiple_of(offk_ref[t * nk + kk] // p, 8)
+        gm = _gather_masked(lidx_ref[:, kk], ubuf, t % 2, offp, wp, p, c, tr)
+        # w_ref holds slot-TILED weights [nk, p*c, cout]: dead slot blocks
+        # are zero in gm, so the full-width GEMM sums only the live block
+        acc = acc + jnp.dot(
+            gm, w_ref[kk], preferred_element_type=jnp.float32
+        )
+    out_ref[:] = acc
+
+
+def _dw_kernel(
+    us_ref, offk_ref, lidx_ref, g_ref, feats_ref, dw_ref, ubuf, sems,
+    *, nk: int, tr: int, wp: int, up: int, p: int, c: int,
+):
+    t = pl.program_id(0)
+    nt = pl.num_programs(0)
+
+    @pl.when(t == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        _union_dma(us_ref, feats_ref, ubuf, sems, 0, p, up).start()
+
+    _union_dma(us_ref, feats_ref, ubuf, sems, t, p, up).wait()
+
+    @pl.when(t + 1 < nt)
+    def _():
+        _union_dma(us_ref, feats_ref, ubuf, sems, t + 1, p, up).start()
+
+    gq = g_ref[:].astype(jnp.bfloat16)  # [tr, cout]
+    for kk in range(nk):
+        offp = pl.multiple_of(offk_ref[t * nk + kk] // p, 8)
+        gm = _gather_masked(lidx_ref[:, kk], ubuf, t % 2, offp, wp, p, c, tr)
+        # accumulate the slot-EXPANDED [p*c, cout] outer products (dead slot
+        # blocks are zero rows); the wrapper folds the P blocks back to
+        # dW_k = sum_s dw_full[k, s*c:(s+1)*c]
+        dw_ref[kk] += jax.lax.dot_general(
+            gm, gq, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _lanes_pad(p: int, c: int) -> int:
+    """Packed-row lane count padded to the 128-lane tile: Mosaic requires
+    slice/DMA lane widths aligned to 128, and odd channel counts (the first
+    conv's raw features, concat skip widths) would otherwise misalign. The
+    padding lanes are zero in the packed array and map to slot groups >= p,
+    so the lane mask drops them for free."""
+    return -(-(p * c) // 128) * 128
+
+
+def _pack(feats: jnp.ndarray, p: int) -> jnp.ndarray:
+    n, c = feats.shape
+    fp = feats.reshape(n // p, p * c)
+    lp = _lanes_pad(p, c)
+    if lp != p * c:
+        fp = jnp.pad(fp, ((0, 0), (0, lp - p * c)))
+    return fp
+
+
+def _run_fwd(feats, weights, wmap: WindowedMap):
+    n_out, nk = wmap.idx.shape
+    n_in, c = feats.shape
+    cout = weights.shape[2]
+    p = _pack_factor(c)
+    wp = wmap.w // p
+    up = wmap.u // p
+    t = n_out // wmap.tr
+    fp = _pack(feats.astype(jnp.bfloat16), p)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # us, offk
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(
+                (wmap.tr, nk), lambda i, us, offk: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # weights, whole
+            pl.BlockSpec(memory_space=pltpu.ANY),  # feats stay in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (wmap.tr, cout), lambda i, us, offk: (i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, up, _lanes_pad(p, c)), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kern = partial(
+        _fwd_kernel, nk=nk, tr=wmap.tr, wp=wp, up=up, p=p, c=c, cout=cout
+    )
+    wtiled = jnp.tile(weights.astype(jnp.bfloat16), (1, p, 1))  # [nk, p*c, cout]
+    lp = _lanes_pad(p, c)
+    if lp != p * c:
+        wtiled = jnp.pad(wtiled, ((0, 0), (0, lp - p * c), (0, 0)))
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n_out, cout), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(
+        wmap.us, wmap.offk.reshape(-1), wmap.lidx, wtiled, fp,
+    )
+
+
+def _run_dw(feats, g, wmap: WindowedMap):
+    n_out, nk = wmap.idx.shape
+    n_in, c = feats.shape
+    cout = g.shape[1]
+    p = _pack_factor(c)
+    wp = wmap.w // p
+    up = wmap.u // p
+    t = n_out // wmap.tr
+    fp = _pack(feats.astype(jnp.bfloat16), p)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec(
+                (wmap.tr, nk), lambda i, us, offk: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (wmap.tr, cout), lambda i, us, offk: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (nk, _lanes_pad(p, c), cout), lambda i, us, offk: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, up, _lanes_pad(p, c)), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kern = partial(_dw_kernel, nk=nk, tr=wmap.tr, wp=wp, up=up, p=p, c=c)
+    dw_full = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(
+            (nk, _lanes_pad(p, c), cout), jnp.float32
+        ),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(wmap.us, wmap.offk.reshape(-1), wmap.lidx, g, fp)
+    # fold the slot-expanded rows: dW_k = sum_s dw_full[k, s*c:(s+1)*c]
+    return dw_full[:, : p * c].reshape(nk, p, c, cout).sum(axis=1)
+
+
+def _corr_apply(feats, weights, wmap: WindowedMap, n_out: int):
+    """Exact XLA repair of out-of-window entries: out[i] += f[idx[i,k]] @ W_k
+    over the packed correction list (tiny; scatter/gather on corr_cap rows)."""
+    cout = weights.shape[2]
+    live = wmap.corr >= 0
+    e = jnp.maximum(wmap.corr, 0)
+    nk = wmap.k
+    i = e // nk
+    kk = e - i * nk
+    j = wmap.idx.reshape(-1)[e]  # valid by construction of corr
+    f = jnp.take(feats, jnp.where(live, j, 0), axis=0).astype(jnp.float32)
+    wk = jnp.take(weights, kk, axis=0).astype(jnp.float32)  # [cap, C, Cout]
+    contrib = jnp.einsum("ec,ecd->ed", f, wk)
+    contrib = jnp.where(live[:, None], contrib, 0.0)
+    out = jnp.zeros((n_out + 1, cout), jnp.float32)
+    return out.at[jnp.where(live, i, n_out)].add(contrib, mode="drop")[:n_out]
+
+
+def _corr_dw(feats, g, wmap: WindowedMap):
+    """dW contribution of the correction entries: dW_k += f[j] (x) g[i]."""
+    c = feats.shape[1]
+    cout = g.shape[1]
+    nk = wmap.k
+    live = wmap.corr >= 0
+    e = jnp.maximum(wmap.corr, 0)
+    i = e // nk
+    kk = jnp.where(live, e - i * nk, nk)
+    j = wmap.idx.reshape(-1)[e]
+    f = jnp.take(feats, jnp.where(live, j, 0), axis=0).astype(jnp.float32)
+    gi = jnp.take(g, jnp.where(live, i, 0), axis=0).astype(jnp.float32)
+    outer = jnp.where(live[:, None, None], f[:, :, None] * gi[:, None, :], 0.0)
+    dw = jnp.zeros((nk + 1, c, cout), jnp.float32)
+    return dw.at[kk].add(outer, mode="drop")[:nk]
+
+
+def _flip_t(weights: jnp.ndarray) -> jnp.ndarray:
+    """Transpose-conv weights: reverse the (symmetric) offset order and swap
+    Cin/Cout (same identity ops/conv.py relies on)."""
+    return jnp.flip(weights, axis=0).transpose(0, 2, 1)
+
+
+@jax.custom_vjp
+def _winconv_tm(feats, weights, wmap: WindowedMap, wmap_t: WindowedMap):
+    out = _run_fwd(feats, weights, wmap)
+    return out + _corr_apply(feats, weights, wmap, wmap.n_out)
+
+
+def _winconv_tm_fwd(feats, weights, wmap, wmap_t):
+    return _winconv_tm(feats, weights, wmap, wmap_t), (feats, weights, wmap, wmap_t)
+
+
+def _winconv_tm_bwd(res, g):
+    feats, weights, wmap, wmap_t = res
+    w_t = _flip_t(weights)
+    gf = _run_fwd(g, w_t, wmap_t)
+    gf = gf + _corr_apply(g, w_t, wmap_t, wmap_t.n_out)
+    gw = _run_dw(feats, g.astype(jnp.float32), wmap) + _corr_dw(feats, g, wmap)
+    return gf.astype(feats.dtype), gw.astype(weights.dtype), None, None
+
+
+_winconv_tm.defvjp(_winconv_tm_fwd, _winconv_tm_bwd)
+
+
+def windowed_conv(
+    feats: jnp.ndarray,
+    wmap: WindowedMap,
+    weights: jnp.ndarray,
+    wmap_t: WindowedMap | None = None,
+    out_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Sparse conv through a WindowedMap (Pallas streaming kernel + exact
+    correction). ``wmap_t`` is the transpose map (the map itself for
+    submanifold convs); required for training (backward runs through it)."""
+    if wmap_t is None:
+        wmap_t = wmap
+    out = _winconv_tm(feats, weights, wmap, wmap_t)
+    return out.astype(out_dtype)
