@@ -77,6 +77,9 @@ def main():
         radius=float(run_cfg["data"].get("radius", 8)),
         processed_dir=run_cfg["data"].get("processed_dir"),
         sampling_format=str(run_cfg["data"].get("sampling_format", "cylinder")),
+        test_transforms=(run_cfg["data"].get("test_transform")
+                         or run_cfg["data"].get("test_transforms")),
+        pre_collate_transform=run_cfg["data"].get("pre_collate_transform"),
         keep_raw=True,
     )
     model = PointGroup3HeadsNet(pcfg)

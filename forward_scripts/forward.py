@@ -75,6 +75,9 @@ def main():
         grid_size=float(run_cfg["data"].get("grid_size", 0.2)),
         radius=float(run_cfg["data"].get("radius", 8)),
         sampling_format=str(run_cfg["data"].get("sampling_format", "cylinder")),
+        test_transforms=(run_cfg["data"].get("test_transform")
+                         or run_cfg["data"].get("test_transforms")),
+        pre_collate_transform=run_cfg["data"].get("pre_collate_transform"),
         keep_raw=True,
     )
     model = PointGroup3HeadsNet(pcfg)

@@ -35,7 +35,12 @@ from scipy.spatial import cKDTree
 
 from .labels import set_extra_labels
 from .ply import read_ply
-from .transforms import augment_tile, finalize_tile
+from .transform_pipeline import (
+    DEFAULT_TEST_TRANSFORMS,
+    DEFAULT_TRAIN_TRANSFORMS,
+    TileState,
+    build_pipeline,
+)
 from .voxelize import grid_sample
 
 
@@ -104,6 +109,9 @@ class PanopticFileDataset:
         keep_raw: bool = False,
         rng: Optional[np.random.Generator] = None,
         sampling_format: str = "cylinder",
+        train_transforms: Optional[Sequence[dict]] = None,
+        test_transforms: Optional[Sequence[dict]] = None,
+        pre_collate_transform: Optional[Sequence[dict]] = None,
     ):
         assert sampling_format in ("cylinder", "sphere"), sampling_format
         self.spec = spec
@@ -116,6 +124,26 @@ class PanopticFileDataset:
         # TreeinsSphere chosen by data.sampling_format)
         self.sampling_format = sampling_format
         self._rng = rng or np.random.default_rng(2022)
+        # config-driven transform stacks (reference instantiate_transforms,
+        # core/data_transform/__init__.py:48-101); None -> the paper stack
+        self._train_pipe = build_pipeline(
+            DEFAULT_TRAIN_TRANSFORMS if train_transforms is None
+            else train_transforms, grid_size)
+        self._test_pipe = build_pipeline(
+            DEFAULT_TEST_TRANSFORMS if test_transforms is None
+            else test_transforms, grid_size)
+        # pre-collate: SaveOriginalPosId is implicit (origin ids are always
+        # recorded); GridSampling3D sets the load-time subsample mode
+        self._load_mode = "last"
+        for entry in pre_collate_transform or []:
+            name = entry.get("transform") or entry.get("name")
+            if name == "SaveOriginalPosId":
+                continue
+            if name == "GridSampling3D":
+                self._load_mode = (entry.get("params") or {}).get(
+                    "mode", "last")
+            elif name != "PointCloudFusion":  # files are already per-area
+                raise ValueError(f"unsupported pre_collate transform {name!r}")
         self.processed_dir = processed_dir
         if processed_dir:
             os.makedirs(processed_dir, exist_ok=True)
@@ -144,7 +172,7 @@ class PanopticFileDataset:
                 pos,
                 {"y": y, "instance_labels": inst, "origin_id": origin_id},
                 self.grid_size,
-                mode="last",
+                mode=self._load_mode,
                 rng=self._rng,
             )
             cloud = {"pos": sub_pos, **sub}
@@ -226,20 +254,36 @@ class PanopticFileDataset:
         raise RuntimeError("could not sample a valid cylinder")
 
     def _make_tile(self, tile: Dict[str, np.ndarray], rng, train: bool) -> dict:
-        pos = tile["pos"]
-        if train:
-            pos = augment_tile(pos, rng)
+        pipe = self._train_pipe if train else self._test_pipe
+        st = TileState(
+            pos=tile["pos"].astype(np.float32),
+            attrs={
+                "y": tile["y"].astype(np.int32),
+                "instance_labels": tile["instance_labels"].astype(np.int32),
+                "origin_id": tile["origin_id"].astype(np.int32),
+            },
+            train=train,
+        )
+        # geometric phase first: vote offsets must be bbox centers of the
+        # *augmented* positions, and subset transforms (dropout/crops) must
+        # run before instance ids are compacted
+        pipe.run_geometric(st, rng)
         extra = set_extra_labels(
-            pos, tile["y"], tile["instance_labels"],
+            st.pos, st.attrs["y"], st.attrs["instance_labels"],
             self.spec.thing_classes, self.max_instances,
         )
-        attrs = {
-            "y": tile["y"].astype(np.int32),
-            "instance_labels": extra["instance_labels"],
-            "vote_label": extra["vote_label"],
-            "origin_id": tile["origin_id"].astype(np.int32),
-        }
-        out = finalize_tile(pos, attrs, self.grid_size, rng, train=train)
+        st.attrs["instance_labels"] = extra["instance_labels"]
+        st.attrs["vote_label"] = extra["vote_label"]
+        pipe.run_finalize(st, rng)
+        if st.coords is None:
+            raise ValueError(
+                "transform pipeline produced no voxel coords: the test/train"
+                " list needs GridSampling3D with quantize_coords: True"
+            )
+        out = dict(st.attrs)
+        out["feats"] = st.feats
+        out["coords"] = st.coords
+        out["pos"] = st.pos
         out["num_instances"] = int(out["instance_labels"].max()) if len(
             out["instance_labels"]
         ) else 0

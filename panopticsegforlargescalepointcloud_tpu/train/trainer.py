@@ -98,26 +98,25 @@ class Trainer:
 
         data_cfg = cfg.get("data", {})
         files = data_cfg.get("files", {}) or {}
+        # config-driven transform stacks (reference data yaml lists,
+        # conf/data/panoptic/treeins_rad8.yaml:17-82); None -> paper defaults
+        ds_kwargs = dict(
+            grid_size=float(data_cfg.get("grid_size", 0.2)),
+            radius=float(data_cfg.get("radius", 8)),
+            processed_dir=data_cfg.get("processed_dir"),
+            sampling_format=str(data_cfg.get("sampling_format", "cylinder")),
+            train_transforms=data_cfg.get("train_transforms"),
+            test_transforms=(data_cfg.get("val_transform")
+                             or data_cfg.get("test_transform")
+                             or data_cfg.get("test_transforms")),
+            pre_collate_transform=data_cfg.get("pre_collate_transform"),
+            rng=self.rng,
+        )
         if files.get("train"):
             self.dataset = PanopticFileDataset(
-                self.spec,
-                files["train"],
-                grid_size=float(data_cfg.get("grid_size", 0.2)),
-                radius=float(data_cfg.get("radius", 8)),
-                processed_dir=data_cfg.get("processed_dir"),
-                sampling_format=str(data_cfg.get("sampling_format", "cylinder")),
-                rng=self.rng,
-            )
+                self.spec, files["train"], **ds_kwargs)
             self.val_dataset = (
-                PanopticFileDataset(
-                    self.spec,
-                    files["val"],
-                    grid_size=float(data_cfg.get("grid_size", 0.2)),
-                    radius=float(data_cfg.get("radius", 8)),
-                    processed_dir=data_cfg.get("processed_dir"),
-                    sampling_format=str(data_cfg.get("sampling_format", "cylinder")),
-                    rng=self.rng,
-                )
+                PanopticFileDataset(self.spec, files["val"], **ds_kwargs)
                 if files.get("val")
                 else self.dataset
             )
