@@ -167,6 +167,7 @@ class PanopticConfig:
     hd_epsilon: float = 0.006
     hd_max_clusters: int = 32  # per sample, single (non-loop) runs
     hd_point_cap: int = 2048  # thing points per sample fed to hdbscan
+    hd_selection: str = "eom"  # condensed-tree eom (exact) | "gap" (cheap)
     loop_max_clusters: int = 8  # per sample per random-subset run
     embed_subset_seed: int = 0  # deterministic dim-subset selection
     # eval-time instance extraction (structure_3heads.py:28)
@@ -407,13 +408,26 @@ class PointGroup3HeadsNet(nn.Module):
         return sem, off, emb, scores
 
 
-def _subset_masks(cfg: PanopticConfig, space: str, loops: int, low: int, high: int):
-    """Static 0/1 dim masks for one strategy op ([runs, 3+E] numpy).
+def _subset_masks(
+    cfg: PanopticConfig,
+    space: str,
+    loops: int,
+    low: int,
+    high: int,
+    subset_key=None,
+    tag: int = 0,
+):
+    """0/1 dim masks for one strategy op ([runs, 3+E]).
 
     Zeroing unselected dims makes every distance equal the subspace distance,
     so "cluster on a random feature subset" becomes a fixed-shape multiply
-    (reference picks dims via torch.multinomial per forward,
-    hdbscan_cluster.py:28-34; here subsets are deterministic per run index)."""
+    (reference picks ``randint(low, high+1)`` dims via torch.multinomial per
+    forward, hdbscan_cluster.py:28-34). With ``subset_key`` (a jax PRNG key)
+    the subsets are resampled in-trace per forward exactly like the
+    reference - proposal diversity over an epoch comes from the caller
+    folding the step / voting-run counter into the key. ``subset_key=None``
+    falls back to fixed numpy masks seeded by ``embed_subset_seed``
+    (deterministic per run index; used by tests and single-shot paths)."""
     import numpy as np
 
     d = 3 + cfg.embed_dim
@@ -426,6 +440,21 @@ def _subset_masks(cfg: PanopticConfig, space: str, loops: int, low: int, high: i
         m = np.zeros((1, d), np.float32)
         m[0, pool] = 1.0
         return m
+    if subset_key is not None:
+        pool_b = jnp.zeros((d,), bool).at[jnp.asarray(pool)].set(True)
+        rows = []
+        for i in range(loops):
+            ki = jax.random.fold_in(subset_key, tag * 131 + i)
+            ku, kk = jax.random.split(ki)
+            noise = jnp.where(pool_b, jax.random.uniform(ku, (d,)), -1.0)
+            k = jax.random.randint(kk, (), low, high + 1)
+            k = jnp.minimum(k, len(pool))
+            order = jnp.argsort(-noise)
+            rank = jnp.zeros((d,), jnp.int32).at[order].set(
+                jnp.arange(d, dtype=jnp.int32)
+            )
+            rows.append(((rank < k) & pool_b).astype(jnp.float32))
+        return jnp.stack(rows)
     rng = np.random.default_rng(cfg.embed_subset_seed)
     masks = np.zeros((loops, d), np.float32)
     for i in range(loops):
@@ -442,6 +471,7 @@ def _embed_proposals(
     pred: jnp.ndarray,
     batch: jnp.ndarray,
     thing: jnp.ndarray,
+    subset_seed=None,
 ) -> Tuple[Proposals, jnp.ndarray]:
     """PointGroupEmbed cluster strategies (EMBED_STRATEGIES table): density
     grouping / mean-shift over xyz / embeddings / random feature subsets,
@@ -451,6 +481,15 @@ def _embed_proposals(
     of any clustering run by the static pack/point caps, and radius-graph
     degradation counts (possible under-merge, see neighbors.radius_graph)."""
     n = pos.shape[0]
+    subset_key = None
+    if subset_seed is not None:
+        # per-forward resampled feature subsets (reference parity): the
+        # caller's counter (train step / voting run + tile) keeps runs
+        # reproducible while proposals vary forward-to-forward
+        subset_key = jax.random.fold_in(
+            jax.random.PRNGKey(cfg.embed_subset_seed),
+            jnp.asarray(subset_seed, jnp.uint32),
+        )
     feats_all = jnp.concatenate(
         [pos.astype(jnp.float32), embeds.astype(jnp.float32)], axis=1
     )
@@ -506,7 +545,9 @@ def _embed_proposals(
             if loops > 0
             else (cfg.hd_max_clusters if method == "hdbscan" else cfg.ms_max_clusters)
         )
-        masks = _subset_masks(cfg, space, loops, low, high)
+        masks = _subset_masks(
+            cfg, space, loops, low, high, subset_key=subset_key, tag=tag
+        )
         for li in range(masks.shape[0]):
             masked = dense * jnp.asarray(masks[li])[None, None, :]
             if method == "hdbscan":
@@ -516,6 +557,7 @@ def _embed_proposals(
                     min_cluster_size=cfg.hd_min_cluster_size,
                     epsilon=cfg.hd_epsilon,
                     max_clusters=percap,
+                    selection=cfg.hd_selection,
                 )
                 lab, ncl = res.labels, res.num_clusters
             else:
@@ -571,6 +613,7 @@ def build_proposals(
     sem_logp: jnp.ndarray,
     batch: jnp.ndarray,
     valid: jnp.ndarray,
+    subset_seed=None,
 ) -> Tuple[Proposals, jnp.ndarray]:
     """Run the configured cluster sources and assemble the membership table.
 
@@ -590,7 +633,9 @@ def build_proposals(
         is_stuff = is_stuff | (pred == c)
     thing = valid & ~is_stuff
     if cfg.model_family == "embed":
-        return _embed_proposals(cfg, pos, embeds, pred, batch, thing)
+        return _embed_proposals(
+            cfg, pos, embeds, pred, batch, thing, subset_seed=subset_seed
+        )
 
     point_blocks = []
     prop_valid_parts = []

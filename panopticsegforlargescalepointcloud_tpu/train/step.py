@@ -81,9 +81,12 @@ def panoptic_forward(
     with_clustering: bool,
     momentum=0.1,
     epoch: int | None = None,
+    subset_seed=None,
 ) -> Tuple[PanopticOutput, Dict[str, Any]]:
     """Returns (output, updated batch_stats). ``epoch`` is STATIC; it gates
-    the epoch-conditional mask features (see PanopticConfig *_start_epoch)."""
+    the epoch-conditional mask features (see PanopticConfig *_start_epoch).
+    ``subset_seed`` (traced int) resamples the embed family's random feature
+    subsets per forward like the reference's torch.multinomial."""
     mutable = ["batch_stats"] if train else False
     res = model.apply(
         variables,
@@ -116,7 +119,8 @@ def panoptic_forward(
         # path is TPU-only).
         sg = jax.lax.stop_gradient
         props, cluster_overflow, rg_graph_trunc = build_proposals(
-            cfg, db.pos, sg(off), sg(emb), sg(sem), db.grid.batch, db.grid.mask
+            cfg, db.pos, sg(off), sg(emb), sg(sem), db.grid.batch,
+            db.grid.mask, subset_seed=subset_seed,
         )
         if cfg.use_score_net and not cfg.scorer_type:
             # semantic-certainty confidence (reference _compute_score else
@@ -254,6 +258,7 @@ def make_train_step(
                 cfg, model, variables, db, hier,
                 train=True, with_clustering=with_clustering,
                 momentum=state.bn_momentum, epoch=epoch,
+                subset_seed=state.step,
             )
             total, losses = panoptic_losses(
                 cfg,
@@ -302,7 +307,7 @@ def make_eval_forward(
     *_start_epoch mask features exactly as during training); None = gates
     open, matching a converged reference checkpoint."""
 
-    def fwd(params, batch_stats, arrays):
+    def fwd(params, batch_stats, arrays, subset_seed=None):
         db = canonicalize(*arrays)
         hier = build_hierarchy(
             db.grid, cfg.num_down, use_bricks=cfg.use_bricks,
@@ -313,10 +318,25 @@ def make_eval_forward(
         out, _ = panoptic_forward(
             cfg, model, variables, db, hier, train=False,
             with_clustering=with_clustering, epoch=epoch,
+            subset_seed=subset_seed,
         )
         return db, out
 
-    return jax.jit(fwd)
+    if cfg.model_family == "embed":
+        # voting runs / tiles pass a counter so the reference's per-forward
+        # random feature subsets stay per-forward (yet reproducible)
+        def fwd_seeded(params, batch_stats, arrays, subset_seed=0):
+            return fwd(params, batch_stats, arrays,
+                       jnp.asarray(subset_seed, jnp.int32))
+
+        jitted = jax.jit(fwd_seeded)
+        return lambda params, batch_stats, arrays, subset_seed=0: jitted(
+            params, batch_stats, arrays, subset_seed
+        )
+    jitted = jax.jit(fwd, static_argnames=("subset_seed",))
+    return lambda params, batch_stats, arrays, subset_seed=None: jitted(
+        params, batch_stats, arrays
+    )
 
 
 @partial(jax.jit, static_argnames=("num_down", "brick_size", "brick_factor", "win_maps"))
