@@ -99,9 +99,11 @@ def measure_phases(cfg, model, state, arrays, valid_voxels, iters):
             brick_size=cfg.brick_size, brick_capacity_factor=cfg.brick_factor,
             win_maps=cfg.win_enabled,
         )
+        dm0 = hier.down_maps[0]
+        dm0_idx = dm0.idx if hasattr(dm0, "idx") else dm0
         s = sum(jnp.sum(m.astype(jnp.float32)) for m in
                 [g.mask for g in hier.grids]) + jnp.sum(
-            hier.down_maps[0][:, 0].astype(jnp.float32)
+            dm0_idx[:, 0].astype(jnp.float32)
         ) + jnp.sum(db.grid.keys.astype(jnp.float32))
         return feats + 1e-30 * s.astype(feats.dtype), s
 
@@ -292,10 +294,42 @@ def measure_e2e(num_devices: int = 1):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _write_e2e(e2e):
+    """bench_e2e.json keeps one record per device count (the CPU-mesh
+    scaling record next to the real-chip number)."""
+    path = os.path.join(os.path.dirname(__file__), "bench_e2e.json")
+    runs = []
+    if os.path.exists(path):
+        old = json.load(open(path))
+        runs = old["runs"] if isinstance(old, dict) and "runs" in old else [old]
+    runs = [r for r in runs if r.get("devices") != e2e["devices"]
+            or r.get("platform") != e2e["platform"]]
+    runs.append(e2e)
+    runs.sort(key=lambda r: (r.get("platform", ""), r.get("devices", 1)))
+    with open(path, "w") as f:
+        json.dump({"runs": runs}, f, indent=1)
+
+
 def main():
     import jax
     import jax.numpy as jnp
     import optax
+
+    # sitecustomize pins JAX_PLATFORMS=axon with jax pre-imported;
+    # PST_PLATFORM/PST_CPU_DEVICES re-target after import (as train.py)
+    if os.environ.get("PST_CPU_DEVICES"):
+        jax.config.update("jax_num_cpu_devices", int(os.environ["PST_CPU_DEVICES"]))
+    if os.environ.get("PST_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["PST_PLATFORM"])
+
+    if os.environ.get("BENCH_E2E_ONLY"):
+        # scaling-record mode: skip the forward bench (e.g. the 8-virtual-
+        # device CPU mesh, where the single-chip number is meaningless)
+        e2e = measure_e2e(int(os.environ.get("BENCH_E2E_DEVICES", "1")))
+        e2e["platform"] = jax.devices()[0].platform
+        _write_e2e(e2e)
+        print(json.dumps(e2e))
+        return
 
     from panopticsegforlargescalepointcloud_tpu.models.pointgroup3heads import (
         PanopticConfig,
@@ -395,9 +429,9 @@ def main():
         import sys
 
         e2e = measure_e2e(int(os.environ.get("BENCH_E2E_DEVICES", "1")))
+        e2e["platform"] = jax.devices()[0].platform
         print("end-to-end scene:", json.dumps(e2e), file=sys.stderr)
-        with open(os.path.join(os.path.dirname(__file__), "bench_e2e.json"), "w") as f:
-            json.dump(e2e, f, indent=1)
+        _write_e2e(e2e)
 
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     if os.path.exists(baseline_path):
