@@ -258,6 +258,11 @@ def measure_e2e(num_devices: int = 1):
         cfg = PanopticConfig(
             num_classes=2, stuff_classes=(0,), backbone="paper", feat_dim=4,
             in_feat=16, num_samples=1, max_instances=64,
+            # measured budgets (PLAN.md r3): things are <=40% of this forest
+            # (20k ground + 12k tree rows/tile; untrained init can predict
+            # more), scorer occupancy <=25% of membership rows; overflow
+            # counters guard both caps
+            rg_point_cap=20480, scorer_capacity_mult=0.5,
         )
         model = PointGroup3HeadsNet(cfg)
         tile, _ = ds.test_tiles(0)[0]
@@ -358,6 +363,9 @@ def main():
         max_instances=64,
         cluster_radius=0.18,
         gemm_mode=os.environ.get("BENCH_GEMM", "loop"),
+        # measured clustering/scorer budgets (PLAN.md r3; overflow-guarded)
+        rg_point_cap=int(os.environ.get("BENCH_RG_CAP", "20480")),
+        scorer_capacity_mult=float(os.environ.get("BENCH_SCORER_MULT", "0.5")),
     )
     model = PointGroup3HeadsNet(cfg)
     vb = build_inputs(num_tiles=num_tiles, capacity=capacity)

@@ -150,6 +150,10 @@ def panoptic_config_from_yaml(
             m.get("cal_iou_based_on_mask_start_epoch", 200)
         ),
         rg_point_cap=int(m.get("rg_point_cap", 0)),
+        scorer_capacity_mult=float(m.get("scorer_capacity_mult", 1.0)),
+        ms_point_cap=int(m.get("ms_point_cap", 16384)),
+        hd_point_cap=int(m.get("hd_point_cap", 2048)),
+        hd_selection=str(m.get("hd_selection", "eom")),
         min_iou_threshold=float(m.get("min_iou_threshold", 0.25)),
         max_iou_threshold=float(m.get("max_iou_threshold", 0.75)),
         block_merge_th=float(m.get("block_merge_th", 0.01) or 0.01),

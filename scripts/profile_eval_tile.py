@@ -57,10 +57,14 @@ def main():
     )
     import optax
 
+    import os
+
     cap = int(sys.argv[1]) if len(sys.argv) > 1 else 32768
     cfg = PanopticConfig(
         num_classes=9, stuff_classes=(0, 7, 8), backbone="paper", feat_dim=4,
         in_feat=16, num_samples=1, max_instances=64, cluster_radius=0.18,
+        rg_point_cap=int(os.environ.get("PST_RG_CAP", "0")),
+        scorer_capacity_mult=float(os.environ.get("PST_SCORER_MULT", "1.0")),
     )
     model = PointGroup3HeadsNet(cfg)
     vb = build_inputs(num_tiles=1, capacity=cap)

@@ -92,3 +92,61 @@ class TestTallProposals:
         _, _, _, inverse, overflow = scorer_inputs(cfg, props, coords, feats)
         assert int(overflow) == 0
         assert np.all(np.asarray(inverse) >= 0)
+
+
+def _dup_column_proposal(cfg, n_z, dup):
+    """One proposal of n_z voxels with ``dup`` member points per voxel -
+    the realistic shape where membership rows far exceed unique scorer-grid
+    voxels (several points per 0.12-0.2 m voxel)."""
+    m = n_z * dup
+    coords = np.stack(
+        [np.full(n_z, 3), np.full(n_z, -4), 7 + np.arange(n_z)], axis=1
+    ).astype(np.int32)
+    coords = np.repeat(coords, dup, axis=0)
+    props = Proposals(
+        point_idx=jnp.arange(m, dtype=jnp.int32),
+        prop_id=jnp.zeros(m, jnp.int32),
+        member_valid=jnp.ones(m, bool),
+        prop_valid=jnp.arange(cfg.total_props) < 1,
+        prop_batch=jnp.where(jnp.arange(cfg.total_props) < 1, 0, -1),
+        prop_type=jnp.zeros(cfg.total_props, jnp.int32),
+    )
+    feats = jnp.ones((m, cfg.in_feat), jnp.float32)
+    return props, jnp.asarray(coords), feats
+
+
+class TestScorerCapacityMult:
+    """scorer_capacity_mult shrinks the ScoreNet grid below the
+    membership-row budget (measured occupancy is a fraction of it,
+    PLAN.md r3). Shrinking must be lossless while real occupancy fits and
+    an exact counted overflow when it binds (VERDICT r2 tasks 1/6)."""
+
+    def test_half_grid_is_lossless_at_real_occupancy(self):
+        # 600 membership rows but only 150 unique (prop, voxel) pairs
+        full = _cfg()
+        props, coords, feats = _dup_column_proposal(full, n_z=150, dup=4)
+        half = _cfg(scorer_capacity_mult=0.5)
+        ga, _, sfa, inva, ova = scorer_inputs(full, props, coords, feats)
+        gb, _, sfb, invb, ovb = scorer_inputs(half, props, coords, feats)
+        assert int(ova) == 0 and int(ovb) == 0
+        assert gb.keys.shape[0] < ga.keys.shape[0]
+        ka = np.sort(np.asarray(ga.keys)[np.asarray(ga.mask)])
+        kb = np.sort(np.asarray(gb.keys)[np.asarray(gb.mask)])
+        np.testing.assert_array_equal(ka, kb)
+        # every member maps to a live row carrying its features in both
+        for sf, inv in ((sfa, inva), (sfb, invb)):
+            inv = np.asarray(inv)
+            assert np.all(inv >= 0)
+            np.testing.assert_allclose(
+                np.asarray(sf)[inv], np.asarray(feats), rtol=0, atol=0
+            )
+
+    def test_binding_cap_counts_exact_overflow(self):
+        cfg = _cfg(scorer_capacity_mult=0.25)  # 600 rows -> 256-row grid
+        props, coords, feats = _dup_column_proposal(cfg, n_z=500, dup=1)
+        grid, _, _, inverse, overflow = scorer_inputs(cfg, props, coords, feats)
+        cap = grid.keys.shape[0]
+        assert cap == 256
+        assert int(overflow) == 500 - cap
+        assert int(np.sum(np.asarray(grid.mask))) == cap
+        assert np.sum(np.asarray(inverse) < 0) == 500 - cap
