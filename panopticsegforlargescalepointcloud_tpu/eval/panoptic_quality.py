@@ -24,60 +24,93 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
-from scipy import stats
 
+def _compact_instances(ins: np.ndarray, sem: np.ndarray, num_classes: int):
+    """Compact instance ids (ins >= 0) and derive per-instance class + size.
 
-def _mode(x: np.ndarray) -> int:
-    return int(stats.mode(x, keepdims=False).mode)
-
-
-def _group_by_class(ins: np.ndarray, sem: np.ndarray, num_classes: int):
-    """Returns per-class lists of instance point-masks (ins >= 0 only)."""
-    groups: List[List[np.ndarray]] = [[] for _ in range(num_classes)]
-    for g in np.unique(ins):
-        if g == -1:
-            continue
-        tmp = ins == g
-        groups[_mode(sem[tmp])].append(tmp)
-    return groups
+    Class = mode of the member semantic labels; ties take the smallest class,
+    matching ``scipy.stats.mode`` (which the dense formulation used) and the
+    reference's per-group vote (treeins.py:154-166). Returns
+    (inverse [N] local id or -1, cls [I], size [I])."""
+    live = ins >= 0
+    uniq, inv_live = np.unique(ins[live], return_inverse=True)
+    inverse = np.full(ins.shape, -1, np.int64)
+    inverse[live] = inv_live
+    n_inst = len(uniq)
+    counts = np.zeros((n_inst, num_classes), np.int64)
+    np.add.at(counts, (inv_live, sem[live]), 1)
+    cls = counts.argmax(1)  # first max = smallest class on ties
+    return inverse, cls, counts.sum(1)
 
 
 def _cov_prec_rec(
-    pts_in_pred, pts_in_gt, num_classes: int, at: float = 0.5
+    p_ins: np.ndarray,
+    p_sem: np.ndarray,
+    g_ins: np.ndarray,
+    g_sem: np.ndarray,
+    num_classes: int,
+    at: float = 0.5,
 ):
-    """MUCov/MWCov per class + tp/fp lists + matched-IoU sums (vectorized)."""
-    mucov = np.full(num_classes, np.nan)
-    mwcov = np.full(num_classes, np.nan)
-    total_gt = np.zeros(num_classes)
-    tps = [[] for _ in range(num_classes)]
-    fps = [[] for _ in range(num_classes)]
-    iou_tp = np.zeros(num_classes)
+    """MUCov/MWCov per class + tp/fp lists + matched-IoU sums.
 
-    for c in range(num_classes):
-        gts, preds = pts_in_gt[c], pts_in_pred[c]
-        total_gt[c] = len(gts)
-        if gts and preds:
-            gt_m = np.stack(gts).astype(np.float64)  # [G, N]
-            pr_m = np.stack(preds).astype(np.float64)  # [P, N]
-            inter = pr_m @ gt_m.T  # [P, G]
-            union = pr_m.sum(1)[:, None] + gt_m.sum(1)[None, :] - inter
-            iou = inter / np.maximum(union, 1e-9)
-            # coverage: per gt, best pred
-            best_per_gt = iou.max(0)  # [G]
-            mucov[c] = best_per_gt.mean()
-            mwcov[c] = float((best_per_gt * gt_m.sum(1)).sum() / gt_m.sum())
-            # detection: per pred, best gt
-            best_per_pred = iou.max(1)  # [P]
-            tp = (best_per_pred >= at).astype(float)
+    Sparse contingency formulation: instance overlaps come from one bincount
+    over co-labeled rows (O(N + overlapping pairs)), replacing the dense
+    [P, N] x [N, G] float64 mask matmuls that cost ~12 s of the 24.5 s
+    500k-point scene (PLAN.md r3; the reference's double loop over clusters
+    x instances is the same quadratic shape,
+    /root/reference/torch_points3d/datasets/panoptic/treeins.py:225-320).
+    Pairs never sharing a point have IoU 0 exactly as the dense form."""
+    C = num_classes
+    p_inv, p_cls, p_size = _compact_instances(p_ins, p_sem, C)
+    g_inv, g_cls, g_size = _compact_instances(g_ins, g_sem, C)
+    n_p, n_g = len(p_cls), len(g_cls)
+
+    both = (p_inv >= 0) & (g_inv >= 0)
+    if both.any() and n_g:
+        keys = p_inv[both] * n_g + g_inv[both]
+        uk, cnt = np.unique(keys, return_counts=True)
+        pair_p, pair_g = uk // n_g, uk % n_g
+    else:
+        pair_p = pair_g = cnt = np.zeros(0, np.int64)
+
+    mucov = np.full(C, np.nan)
+    mwcov = np.full(C, np.nan)
+    total_gt = np.zeros(C)
+    tps: List[List[float]] = [[] for _ in range(C)]
+    fps: List[List[float]] = [[] for _ in range(C)]
+    iou_tp = np.zeros(C)
+
+    # pair IoU (class-independent); per-class stages only consult pairs whose
+    # two instances were both voted into that class, like the dense per-class
+    # mask matrices did
+    union = p_size[pair_p] + g_size[pair_g] - cnt
+    pair_iou = cnt / np.maximum(union, 1e-9)
+    same_class = p_cls[pair_p] == g_cls[pair_g]
+
+    # best same-class match per gt / per pred
+    best_gt = np.zeros(n_g)
+    np.maximum.at(best_gt, pair_g[same_class], pair_iou[same_class])
+    best_pred = np.zeros(n_p)
+    np.maximum.at(best_pred, pair_p[same_class], pair_iou[same_class])
+
+    for c in range(C):
+        gc = np.where(g_cls == c)[0]
+        pc = np.where(p_cls == c)[0]
+        total_gt[c] = len(gc)
+        if len(gc) and len(pc):
+            bg = best_gt[gc]
+            mucov[c] = bg.mean()
+            mwcov[c] = float((bg * g_size[gc]).sum() / g_size[gc].sum())
+            tp = (best_pred[pc] >= at).astype(float)
             tps[c] = tp.tolist()
             fps[c] = (1.0 - tp).tolist()
-            iou_tp[c] = float(best_per_pred[best_per_pred >= at].sum())
-        elif gts and not preds:
+            iou_tp[c] = float(best_pred[pc][best_pred[pc] >= at].sum())
+        elif len(gc) and not len(pc):
             mucov[c] = 0.0
             mwcov[c] = 0.0
-        elif preds and not gts:
-            tps[c] = [0.0] * len(preds)
-            fps[c] = [1.0] * len(preds)
+        elif len(pc) and not len(gc):
+            tps[c] = [0.0] * len(pc)
+            fps[c] = [1.0] * len(pc)
     return mucov, mwcov, total_gt, tps, fps, iou_tp
 
 
@@ -129,10 +162,8 @@ def final_eval(
     p_ins, g_ins = pred_ins_c[idxc], gt_ins_c[idxc]
     p_sem, g_sem = pred_sem_c[idxc], gt_sem_c[idxc]
 
-    pts_in_pred = _group_by_class(p_ins, p_sem, C)
-    pts_in_gt = _group_by_class(g_ins, g_sem, C)
     mucov, mwcov, total_gt, tps, fps, iou_tp = _cov_prec_rec(
-        pts_in_pred, pts_in_gt, C, at
+        p_ins, p_sem, g_ins, g_sem, C, at
     )
 
     precision = np.zeros(C)

@@ -19,7 +19,7 @@ import numpy as np
 
 from ..data import PanopticFileDataset, collate_tiles
 from ..data.ply import to_eval_ply, to_ins_ply
-from ..eval.extract import extract_clusters, proposals_to_numpy
+from ..eval.extract import extract_clusters
 from ..eval.merge import SceneAccumulator
 from ..eval.panoptic_quality import final_eval
 from ..models.pointgroup3heads import PanopticConfig
@@ -159,21 +159,35 @@ class FullSceneEvaluator:
         self._accumulate_device(acc, db, out, tile_full_ids, th, remap)
 
     def _accumulate_device(self, acc, db, out, tile_full_ids, th, remap=None):
-        props_np = (
-            proposals_to_numpy(out.proposals) if out.proposals is not None else None
-        )
-        scores_np = (
-            np.asarray(out.cluster_scores)
-            if out.cluster_scores is not None
-            else None
-        )
+        import jax
+
+        # ONE device_get for everything this tile needs on the host: each
+        # np.asarray is a separate transfer round trip, and over a remote
+        # device link (axon tunnel; same shape as a disaggregated serving
+        # host) per-call latency x 9 arrays was a visible slice of the
+        # per-tile wall
+        fetch = {
+            "mask": db.grid.mask,
+            "origin": db.origin_id,
+            "sem": out.semantic_logits,
+        }
+        if out.proposals is not None:
+            p = out.proposals
+            fetch["props"] = dict(
+                point_idx=p.point_idx, prop_id=p.prop_id,
+                member_valid=p.member_valid, prop_valid=p.prop_valid,
+                prop_batch=p.prop_batch, prop_type=p.prop_type,
+            )
+        if out.cluster_scores is not None:
+            fetch["scores"] = out.cluster_scores
+        host = jax.device_get(fetch)
         self._accumulate(
             acc,
-            np.asarray(db.grid.mask),
-            np.asarray(db.origin_id),
-            np.asarray(out.semantic_logits),
-            props_np,
-            scores_np,
+            host["mask"],
+            host["origin"],
+            host["sem"],
+            host.get("props"),
+            host.get("scores"),
             tile_full_ids,
             th,
             remap,
@@ -198,7 +212,9 @@ class FullSceneEvaluator:
                 jnp.stack([a[i] for a in per_tile]) for i in range(len(per_tile[0]))
             )
             res = self._pfwd(self.params, self.batch_stats, shard_batch(self.mesh, stacked))
-            res = {k: np.asarray(v) for k, v in res.items()}
+            import jax
+
+            res = jax.device_get(res)  # one transfer for the whole group
             for di, (_, tile_full_ids) in enumerate(group):
                 props_np = dict(
                     point_idx=res["point_idx"][di],

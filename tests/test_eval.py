@@ -81,6 +81,93 @@ class TestFinalEval:
         assert m["meanPQ_stuff"] < 0.5
 
 
+def _cov_prec_rec_dense(p_ins, p_sem, g_ins, g_sem, num_classes, at=0.5):
+    """Independent oracle: the original dense-mask formulation of
+    _cov_prec_rec (per-instance [*, N] float64 masks + matmul IoU), kept
+    here to pin the sparse-contingency rewrite."""
+    from scipy import stats
+
+    def group(ins, sem):
+        groups = [[] for _ in range(num_classes)]
+        for g in np.unique(ins):
+            if g == -1:
+                continue
+            tmp = ins == g
+            groups[int(stats.mode(sem[tmp], keepdims=False).mode)].append(tmp)
+        return groups
+
+    pts_in_gt = group(g_ins, g_sem)
+    pts_in_pred = group(p_ins, p_sem)
+    mucov = np.full(num_classes, np.nan)
+    mwcov = np.full(num_classes, np.nan)
+    total_gt = np.zeros(num_classes)
+    tps = [[] for _ in range(num_classes)]
+    fps = [[] for _ in range(num_classes)]
+    iou_tp = np.zeros(num_classes)
+    for c in range(num_classes):
+        gts, preds = pts_in_gt[c], pts_in_pred[c]
+        total_gt[c] = len(gts)
+        if gts and preds:
+            gt_m = np.stack(gts).astype(np.float64)
+            pr_m = np.stack(preds).astype(np.float64)
+            inter = pr_m @ gt_m.T
+            union = pr_m.sum(1)[:, None] + gt_m.sum(1)[None, :] - inter
+            iou = inter / np.maximum(union, 1e-9)
+            best_per_gt = iou.max(0)
+            mucov[c] = best_per_gt.mean()
+            mwcov[c] = float((best_per_gt * gt_m.sum(1)).sum() / gt_m.sum())
+            best_per_pred = iou.max(1)
+            tp = (best_per_pred >= at).astype(float)
+            tps[c] = tp.tolist()
+            fps[c] = (1.0 - tp).tolist()
+            iou_tp[c] = float(best_per_pred[best_per_pred >= at].sum())
+        elif gts and not preds:
+            mucov[c] = 0.0
+            mwcov[c] = 0.0
+        elif preds and not gts:
+            tps[c] = [0.0] * len(preds)
+            fps[c] = [1.0] * len(preds)
+    return mucov, mwcov, total_gt, tps, fps, iou_tp
+
+
+class TestSparseCovPrecRec:
+    """The sparse-contingency _cov_prec_rec must match the dense-mask
+    formulation exactly (it replaced 12 s of the 24.5 s e2e scene)."""
+
+    def test_random_scenes_match_dense(self):
+        from panopticsegforlargescalepointcloud_tpu.eval.panoptic_quality import (
+            _cov_prec_rec,
+        )
+
+        rng = np.random.default_rng(7)
+        for trial in range(8):
+            n = 3000
+            C = 5
+            # overlapping random instance partitions with noise labels; -1
+            # rows (no instance) on both sides; class votes non-uniform so
+            # mode ties happen
+            g_ins = rng.integers(-1, 12, n)
+            p_ins = np.where(
+                rng.random(n) < 0.8, g_ins + rng.integers(0, 3, n), -1
+            )
+            g_sem = rng.integers(0, C, n)
+            p_sem = np.where(rng.random(n) < 0.7, g_sem, rng.integers(0, C, n))
+            a = _cov_prec_rec(p_ins, p_sem, g_ins, g_sem, C)
+            b = _cov_prec_rec_dense(p_ins, p_sem, g_ins, g_sem, C)
+            for x, y, name in zip(
+                a, b, ["mucov", "mwcov", "total_gt", "tps", "fps", "iou_tp"]
+            ):
+                if name in ("tps", "fps"):
+                    # per-class multisets of tp/fp flags (dense row order is
+                    # mask-list order, sparse is compact-id order)
+                    for c in range(C):
+                        assert sorted(x[c]) == sorted(y[c]), (trial, name, c)
+                else:
+                    np.testing.assert_allclose(
+                        x, y, rtol=1e-12, atol=1e-12, err_msg=f"{trial}:{name}"
+                    )
+
+
 class TestBlockMerging:
     def test_two_tiles_merge_one_instance(self, rng):
         # scene of 200 points; an instance spans both tiles
