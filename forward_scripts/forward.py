@@ -94,8 +94,9 @@ def main():
     for fi in range(len(dataset.files)):
         raw = dataset.raw_clouds[fi]
         acc = SceneAccumulator(raw["pos"], pcfg.num_classes)
-        for tile, tile_full_ids in dataset.test_tiles(fi):
-            evaluator._process_tile(acc, tile, tile_full_ids, 0.1)
+        for ti, (tile, tile_full_ids) in enumerate(dataset.test_tiles(fi)):
+            evaluator._process_tile(acc, tile, tile_full_ids, 0.1,
+                                    subset_seed=ti)
         sem, ins = acc.finalise(stuff_classes=pcfg.stuff_classes)
         base = osp.splitext(osp.basename(dataset.files[fi]))[0]
         write_ply(

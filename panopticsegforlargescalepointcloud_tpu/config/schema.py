@@ -156,7 +156,11 @@ def panoptic_config_from_yaml(
         hd_selection=str(m.get("hd_selection", "eom")),
         min_iou_threshold=float(m.get("min_iou_threshold", 0.25)),
         max_iou_threshold=float(m.get("max_iou_threshold", 0.75)),
-        block_merge_th=float(m.get("block_merge_th", 0.01) or 0.01),
+        # the reference config ships get_opt_mergeTh=0.01 but its tracker
+        # hard-codes 0.1 at the call site (panoptic_tracker_pointgroup_
+        # treeins.py:474) - 0.1 is the effective reference behavior, so it is
+        # the default here; the key stays live for experiments
+        block_merge_th=float(m.get("block_merge_th", 0.1) or 0.1),
         w_semantic=float(lw.get("semantic", 1.0)),
         w_offset_norm=float(lw.get("offset_norm_loss", 0.1)),
         w_offset_dir=float(lw.get("offset_dir_loss", 0.1)),

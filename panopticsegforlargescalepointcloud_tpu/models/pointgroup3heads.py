@@ -534,8 +534,10 @@ def _embed_proposals(
             continue
 
         cap = cfg.hd_point_cap if method == "hdbscan" else cfg.ms_point_cap
-        dense, dvalid, src_row, dropped = get_pack(cap)
-        overflow = overflow + dropped
+        count_drop = cap not in packs  # one pack per cap -> count its
+        dense, dvalid, src_row, dropped = get_pack(cap)  # drops exactly once
+        if count_drop:
+            overflow = overflow + dropped
         counts = jnp.sum(dvalid.astype(jnp.int32), axis=1)
         # reference skips samples with too few thing points (cluster_loop's
         # sum(batch_mask) > 5 / cluster_single's > 3)

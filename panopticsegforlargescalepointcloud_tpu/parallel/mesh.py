@@ -132,7 +132,7 @@ def make_parallel_eval_forward(
     [D, ...] numpy-convertible outputs (see keys below).
     """
 
-    def device_fwd(params, batch_stats, arrays):
+    def device_fwd(params, batch_stats, arrays, subset_seed):
         arrays = tuple(a[0] for a in arrays)  # shard_map gives [1, ...] blocks
         db = canonicalize(*arrays)
         hier = build_hierarchy(
@@ -143,6 +143,9 @@ def make_parallel_eval_forward(
         out, _ = panoptic_forward(
             cfg, model, {"params": params, "batch_stats": batch_stats},
             db, hier, train=False, with_clustering=True,
+            # per-(vote, tile) counter: embed-family random feature subsets
+            # resample per forward exactly like the sequential path
+            subset_seed=subset_seed[0],
         )
         scores = out.cluster_scores
         if scores is None:
@@ -173,7 +176,7 @@ def make_parallel_eval_forward(
     mapped = jax.shard_map(
         device_fwd,
         mesh=mesh,
-        in_specs=(P(), P(), shard_specs),
+        in_specs=(P(), P(), shard_specs, P(axis_name)),
         out_specs=P(axis_name),
         check_vma=False,
     )

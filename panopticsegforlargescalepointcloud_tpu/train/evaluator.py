@@ -94,18 +94,24 @@ class FullSceneEvaluator:
                 if vote == 0:
                     log.info("file %d: %d tiles x %d votes", fi, len(tiles), runs)
                 if self.mesh is not None:
-                    self._process_tiles_mesh(acc, tiles, th, remap)
+                    self._process_tiles_mesh(
+                        acc, tiles, th, remap, seed_base=vote * len(tiles)
+                    )
                 else:
                     # one-deep pipeline: dispatch tile t's forward (async),
                     # then host-merge tile t-1 while the device runs -
                     # collate/merge/extract hide under device compute
                     pending = None
-                    for tile, tile_full_ids in tiles:
+                    for ti, (tile, tile_full_ids) in enumerate(tiles):
                         vb = collate_tiles(
                             [tile], capacity=self.capacity, num_tiles=1
                         )
+                        # embed family: distinct per-(vote, tile) counter so
+                        # random feature subsets resample per forward like
+                        # the reference's torch.multinomial (step.py contract)
                         db, out = self._fwd(
-                            self.params, self.batch_stats, batch_arrays(vb)
+                            self.params, self.batch_stats, batch_arrays(vb),
+                            subset_seed=vote * len(tiles) + ti,
                         )
                         if pending is not None:
                             self._accumulate_device(acc, *pending, th, remap)
@@ -153,9 +159,11 @@ class FullSceneEvaluator:
             )
         return reports
 
-    def _process_tile(self, acc, tile, tile_full_ids, th, remap=None):
+    def _process_tile(self, acc, tile, tile_full_ids, th, remap=None,
+                      subset_seed=0):
         vb = collate_tiles([tile], capacity=self.capacity, num_tiles=1)
-        db, out = self._fwd(self.params, self.batch_stats, batch_arrays(vb))
+        db, out = self._fwd(self.params, self.batch_stats, batch_arrays(vb),
+                            subset_seed=subset_seed)
         self._accumulate_device(acc, db, out, tile_full_ids, th, remap)
 
     def _accumulate_device(self, acc, db, out, tile_full_ids, th, remap=None):
@@ -193,7 +201,7 @@ class FullSceneEvaluator:
             remap,
         )
 
-    def _process_tiles_mesh(self, acc, tiles, th, remap=None):
+    def _process_tiles_mesh(self, acc, tiles, th, remap=None, seed_base=0):
         """One tile per mesh device through the sharded forward; host merge
         runs in tile order (same results as the sequential path)."""
         import jax.numpy as jnp
@@ -211,7 +219,12 @@ class FullSceneEvaluator:
             stacked = tuple(
                 jnp.stack([a[i] for a in per_tile]) for i in range(len(per_tile[0]))
             )
-            res = self._pfwd(self.params, self.batch_stats, shard_batch(self.mesh, stacked))
+            # per-(vote, tile) subset counters, same numbering as sequential
+            seeds = jnp.asarray(
+                [seed_base + start + i for i in range(d)], jnp.int32
+            )
+            (stacked, seeds) = shard_batch(self.mesh, (stacked, seeds))
+            res = self._pfwd(self.params, self.batch_stats, stacked, seeds)
             import jax
 
             res = jax.device_get(res)  # one transfer for the whole group

@@ -110,13 +110,16 @@ class PlateauController:
     and rewrites the plateau scale into opt_state via
     :func:`apply_plateau_scale`."""
 
-    def __init__(self, params: Dict[str, Any] | None):
+    def __init__(self, params: Dict[str, Any] | None, base_lr: float = 1.0):
         p = params or {}
         self.mode = str(p.get("mode", "min"))
         self.factor = float(p.get("factor", 0.1))
         self.patience = int(p.get("patience", 10))
         self.threshold = float(p.get("threshold", 1e-4))
-        self.min_scale = float(p.get("min_lr", 0.0))
+        # torch's min_lr is an ABSOLUTE lr floor; the controller works in
+        # multiplicative scale, so floor the scale at min_lr / base_lr
+        min_lr = float(p.get("min_lr", 0.0))
+        self.min_scale = min_lr / base_lr if base_lr > 0 else 0.0
         self.best: float | None = None
         self.bad = 0
         self.scale = 1.0
@@ -205,7 +208,7 @@ def build_from_config(
         tcfg.scheduler, tcfg.scheduler_params, tcfg.lr, steps_per_epoch
     )
     plateau = (
-        PlateauController(tcfg.scheduler_params)
+        PlateauController(tcfg.scheduler_params, base_lr=tcfg.lr)
         if needs_plateau(tcfg.scheduler)
         else None
     )

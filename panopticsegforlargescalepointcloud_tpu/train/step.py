@@ -333,7 +333,9 @@ def make_eval_forward(
         return lambda params, batch_stats, arrays, subset_seed=0: jitted(
             params, batch_stats, arrays, subset_seed
         )
-    jitted = jax.jit(fwd, static_argnames=("subset_seed",))
+    # non-embed families have no random-subset clustering: accept and drop
+    # the counter so call sites can pass it uniformly
+    jitted = jax.jit(fwd)
     return lambda params, batch_stats, arrays, subset_seed=None: jitted(
         params, batch_stats, arrays
     )

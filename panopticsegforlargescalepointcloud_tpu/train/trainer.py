@@ -188,7 +188,10 @@ class Trainer:
                 )
 
             self._build_full = _build_full
-        self._eval_fwd = make_eval_forward(self.pcfg, self.model, with_clustering=True)
+        # in-training validation must see the SAME epoch-gated mask behavior
+        # as the train step (the plateau scheduler consumes this val metric);
+        # cached per gate state like _full_step_for
+        self._eval_fwds = {}
         self._eval_fwd_basic = make_eval_forward(
             self.pcfg, self.model, with_clustering=False
         )
@@ -371,6 +374,23 @@ class Trainer:
             self._full_steps[key] = self._build_full(epoch)
         return self._full_steps[key]
 
+    def _eval_fwd_for(self, epoch: int):
+        """Instance-eval forward with the *_start_epoch gates in the same
+        state as the training step at this epoch (same keying as
+        _full_step_for)."""
+        p = self.pcfg
+        key = (
+            p.mask_supervise and p.use_mask_filter_score_feature
+            and epoch > p.use_mask_filter_score_feature_start_epoch,
+            p.mask_supervise and p.cal_iou_based_on_mask
+            and epoch > p.cal_iou_based_on_mask_start_epoch,
+        )
+        if key not in self._eval_fwds:
+            self._eval_fwds[key] = make_eval_forward(
+                self.pcfg, self.model, with_clustering=True, epoch=epoch
+            )
+        return self._eval_fwds[key]
+
     def _train_epoch(self, epoch: int, num_batches: int) -> Dict[str, float]:
         step = (
             self._full_step_for(epoch)
@@ -457,7 +477,7 @@ class Trainer:
     ) -> Dict[str, float]:
         if with_instances is None:
             with_instances = epoch > self.pcfg.prepare_epoch
-        fwd = self._eval_fwd if with_instances else self._eval_fwd_basic
+        fwd = self._eval_fwd_for(epoch) if with_instances else self._eval_fwd_basic
         eval_params, eval_stats = self.state.params, self.state.batch_stats
         if self.mesh is not None:
             # the eval forward is single-device; pull a host copy of the
@@ -468,8 +488,11 @@ class Trainer:
         inst_metrics: List[tuple] = []
         ap_meter = InstanceAPMeter()
         scan_offset = 0
-        for vb in self._val_batches(num_batches):
-            db, out = fwd(eval_params, eval_stats, batch_arrays(vb))
+        for bi, vb in enumerate(self._val_batches(num_batches)):
+            # embed family: per-(epoch, batch) counter resamples the random
+            # feature subsets per forward (reference torch.multinomial parity)
+            db, out = fwd(eval_params, eval_stats, batch_arrays(vb),
+                          subset_seed=epoch * 100003 + bi)
             mask = np.asarray(db.grid.mask)
             y = np.asarray(db.y)
             pred = np.asarray(jnp.argmax(out.semantic_logits, -1))

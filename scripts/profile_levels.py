@@ -45,8 +45,20 @@ def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "fused"
     vb = build_inputs(num_tiles=4, capacity=131072)
     arrays = tuple(jnp.asarray(a) for a in batch_arrays(vb))
-    db, hier = prepare_example(arrays, 6)
-    hier = jax.tree_util.tree_map(jnp.asarray, hier)
+    if mode == "win":
+        # windowed maps like the real eval path (hierarchy.windowify)
+        from panopticsegforlargescalepointcloud_tpu.ops.hierarchy import (
+            build_hierarchy,
+        )
+        from panopticsegforlargescalepointcloud_tpu.train.step import canonicalize
+
+        db = jax.jit(canonicalize)(*arrays)
+        hier = jax.jit(
+            lambda g: build_hierarchy(g, 6, win_maps=True)
+        )(db.grid)
+    else:
+        db, hier = prepare_example(arrays, 6)
+        hier = jax.tree_util.tree_map(jnp.asarray, hier)
 
     f = 16
     chans = [f * (i + 1) for i in range(7)]  # 16..112
@@ -61,10 +73,24 @@ def main():
         w = jnp.asarray(rng.normal(size=(27, c, c)), jnp.bfloat16)
         feats = jnp.asarray(rng.normal(size=(n, c)), jnp.bfloat16)
 
+        from panopticsegforlargescalepointcloud_tpu.ops.winconv import (
+            WindowedMap,
+            windowed_conv,
+        )
+
+        def conv(x, map_, w_):
+            if isinstance(map_, WindowedMap):
+                return windowed_conv(x, map_, w_, out_dtype=jnp.bfloat16)
+            return sparse_conv(
+                x, map_, w_,
+                mode="loop" if mode == "win" else mode,
+                out_dtype=jnp.bfloat16,
+            )
+
         def mk(map_, w_, nin, nout):
             @jax.jit
             def step(x):
-                out = sparse_conv(x, map_, w_, mode=mode, out_dtype=jnp.bfloat16)
+                out = conv(x, map_, w_)
                 s = jnp.sum(out[0].astype(jnp.float32))
                 if nout == nin:
                     nxt = x + jnp.bfloat16(1e-30) * out
@@ -82,7 +108,7 @@ def main():
 
             @jax.jit
             def step_down(x, dmap=dmap, wdown=wdown):
-                out = sparse_conv(x, dmap, wdown, mode=mode, out_dtype=jnp.bfloat16)
+                out = conv(x, dmap, wdown)
                 s = jnp.sum(out[0].astype(jnp.float32))
                 return x.at[0, 0].add(jnp.bfloat16(1e-30) * out[0, 0]), s
 
@@ -93,7 +119,7 @@ def main():
 
             @jax.jit
             def step_up(x, umap=umap, wup=wup):
-                out = sparse_conv(x, umap, wup, mode=mode, out_dtype=jnp.bfloat16)
+                out = conv(x, umap, wup)
                 s = jnp.sum(out[0].astype(jnp.float32))
                 return x.at[0, 0].add(jnp.bfloat16(1e-30) * out[0, 0]), s
 

@@ -98,3 +98,60 @@ class TestEmbedFamily:
                 else:
                     total += loops * cfg.num_samples * cfg.loop_max_clusters
             assert cfg.total_props == total, ct
+
+    def test_pack_overflow_counted_once_per_cap(self, rng):
+        """Strategies sharing one point-cap pack must not re-count its drops:
+        the cluster_overflow metric sizes the caps (code-review r3 fix)."""
+        import jax.numpy as jnp
+
+        from panopticsegforlargescalepointcloud_tpu.models.pointgroup3heads import (
+            build_proposals,
+        )
+
+        # cluster_type 1 = two hdbscan ops, both drawing from the same
+        # hd_point_cap pack
+        cap = 64
+        cfg = embed_cfg(cluster_type=1, hd_point_cap=cap)
+        n = 256
+        pos = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+        embeds = jnp.asarray(rng.normal(size=(n, cfg.embed_dim)), jnp.float32)
+        batch = jnp.zeros((n,), jnp.int32)
+        valid = jnp.ones((n,), bool)
+        # force every valid row to a thing class (class 1)
+        sem_logp = jnp.tile(
+            jnp.log(jnp.eye(cfg.num_classes)[1] * 0.9 + 0.01), (n, 1)
+        )
+        _, overflow, _ = build_proposals(
+            cfg, pos, jnp.zeros((n, 3)), embeds, sem_logp, batch, valid
+        )
+        # 256 thing rows, cap 64 -> exactly 192 dropped, counted ONCE even
+        # though two strategies consume the pack
+        assert int(overflow) == n - cap
+
+    def test_eval_subset_seed_varies_proposals(self, rng):
+        """Different subset_seed counters must resample the random feature
+        subsets per forward (reference torch.multinomial per forward,
+        hdbscan_cluster.py:28-34); the evaluator passes a per-(vote, tile)
+        counter (code-review r3 fix)."""
+        cfg = embed_cfg(cluster_type=2)  # has a loops>0 random-subset op
+        model = PointGroup3HeadsNet(cfg)
+        tiles = [synthetic_tile(rng, n_instances=3, pts_per_instance=60,
+                                n_ground=100)]
+        vb = collate_tiles(tiles, capacity=1024, num_tiles=1)
+        arrays = batch_arrays(vb)
+        db, hier = prepare_example(arrays, cfg.num_down)
+        state = init_state(cfg, model, optax.adam(1e-3), db, hier,
+                           jax.random.PRNGKey(0))
+        fwd = make_eval_forward(cfg, model, with_clustering=True)
+        outs = []
+        for seed in (0, 1):
+            _, out = fwd(state.params, state.batch_stats, arrays,
+                         subset_seed=seed)
+            outs.append(np.asarray(out.proposals.prop_id))
+        assert not np.array_equal(outs[0], outs[1]), (
+            "proposals identical across subset_seed values - the per-forward "
+            "random subsets are not resampling"
+        )
+        # same seed twice -> reproducible
+        _, out = fwd(state.params, state.batch_stats, arrays, subset_seed=0)
+        np.testing.assert_array_equal(outs[0], np.asarray(out.proposals.prop_id))

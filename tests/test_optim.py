@@ -163,3 +163,24 @@ class TestCyclicAndPlateau:
         # sgd(lr=1) update = -1; plateau halves it
         np.testing.assert_allclose(np.asarray(up1["w"]), -1.0)
         np.testing.assert_allclose(np.asarray(up2["w"]), -0.5)
+
+    def test_plateau_min_lr_is_absolute_floor(self):
+        """torch ReduceLROnPlateau's min_lr is an ABSOLUTE lr floor; with
+        base lr 1e-3 and min_lr 1e-5, the cumulative scale must floor at
+        1e-2, not 1e-5 (code-review r3 fix)."""
+        from panopticsegforlargescalepointcloud_tpu.train.optim import (
+            PlateauController,
+        )
+
+        p = PlateauController(
+            {"mode": "min", "factor": 0.1, "patience": 0, "min_lr": 1e-5},
+            base_lr=1e-3,
+        )
+        p.step(1.0)  # first metric = best
+        for _ in range(6):  # patience 0 -> decay every bad epoch
+            p.step(2.0)
+        import numpy as np
+
+        # effective lr = base_lr * scale must not go below min_lr
+        np.testing.assert_allclose(p.scale, 1e-2, rtol=1e-9)
+        np.testing.assert_allclose(1e-3 * p.scale, 1e-5, rtol=1e-9)
