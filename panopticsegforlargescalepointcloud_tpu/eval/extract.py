@@ -44,8 +44,17 @@ def extract_clusters(
     pid = props["prop_id"][ok]
     pts = props["point_idx"][ok]
     valid_props = np.where(props["prop_valid"])[0]
-    members = {int(p): pts[pid == p] for p in valid_props}
-    members = {p: m for p, m in members.items() if len(m)}
+    # one sort + run splits instead of a per-proposal boolean scan over the
+    # [M] membership rows (O(M log M) vs O(P*M))
+    order = np.argsort(pid, kind="stable")
+    pid_s, pts_s = pid[order], pts[order]
+    starts = np.searchsorted(pid_s, valid_props)
+    ends = np.searchsorted(pid_s, valid_props + 1)
+    members = {
+        int(p): pts_s[s:e]
+        for p, s, e in zip(valid_props, starts, ends)
+        if e > s
+    }
     if not members:
         return [], []
     if scores is None:
