@@ -217,3 +217,37 @@ class TestForwardCLI:
         out = read_ply(os.path.join(out_dir, "scan_pred.ply"))
         assert len(out["pred_sem"]) == 3000
         assert set(np.unique(out["pred_sem"])) <= set(range(9))
+
+
+class TestEvalForwardGates:
+    def test_eval_fwd_cached_per_gate_state(self):
+        """In-training validation must see the same *_start_epoch mask-gate
+        state as the train step (the plateau scheduler monitors that val
+        metric): one compiled eval forward per gate combination, rebuilt
+        exactly when an epoch crosses a start epoch (code-review r3 fix)."""
+        from types import SimpleNamespace
+
+        from panopticsegforlargescalepointcloud_tpu.models.pointgroup3heads import (
+            PanopticConfig,
+            PointGroup3HeadsNet,
+        )
+        from panopticsegforlargescalepointcloud_tpu.train.trainer import Trainer
+
+        cfg = PanopticConfig(
+            num_classes=9, stuff_classes=(0, 7, 8), backbone="tiny",
+            feat_dim=4, in_feat=8, num_samples=1, max_instances=16,
+            mask_supervise=True, use_mask_filter_score_feature=True,
+            use_mask_filter_score_feature_start_epoch=10,
+            cal_iou_based_on_mask=True, cal_iou_based_on_mask_start_epoch=20,
+        )
+        t = SimpleNamespace(
+            pcfg=cfg, model=PointGroup3HeadsNet(cfg), _eval_fwds={}
+        )
+        f5 = Trainer._eval_fwd_for(t, 5)
+        assert Trainer._eval_fwd_for(t, 9) is f5  # same gate state -> cached
+        f11 = Trainer._eval_fwd_for(t, 11)  # first gate crossed
+        assert f11 is not f5
+        f21 = Trainer._eval_fwd_for(t, 21)  # second gate crossed
+        assert f21 is not f11
+        assert Trainer._eval_fwd_for(t, 25) is f21
+        assert len(t._eval_fwds) == 3
