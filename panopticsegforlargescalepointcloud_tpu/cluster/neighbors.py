@@ -158,6 +158,88 @@ def radius_neighbors(
     return nbr_idx, nbr_dist2
 
 
+def radius_query(
+    q_pos: jnp.ndarray,
+    q_ids: jnp.ndarray,
+    q_valid: jnp.ndarray,
+    s_pos: jnp.ndarray,
+    s_ids: jnp.ndarray,
+    s_valid: jnp.ndarray,
+    radius: float,
+    k: int = 16,
+    cell_cap: int = 16,
+    bits: BitLayout = DEFAULT_CELL_BITS,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Cross-set fixed-K radius search: for each query row, up to ``k``
+    nearest *support* rows within ``radius`` (same id only).
+
+    The cross-set analog of :func:`radius_neighbors` (reference
+    ``RadiusNeighbourFinder(x, y, batch_x, batch_y)`` semantics,
+    ``core/spatial_ops/neighbour_finder.py:35-37``, consumed by the KPConv
+    strided blocks at ``modules/KPConv/blocks.py:84`` and PointNet++ set
+    abstraction): support rows are binned into cells of side ``radius``;
+    every query scans its 27 adjacent cells up to ``cell_cap`` support rows
+    per cell. The cell shift is computed over the union of both sets so one
+    packing frame covers them.
+
+    Returns (idx [Q, k] int32 into support rows, -1 padding; dist2 [Q, k]
+    f32, +inf padding), nearest first.
+    """
+    nq, ns = q_pos.shape[0], s_pos.shape[0]
+    inv = jnp.float32(1.0 / radius)
+    q_cell = jnp.floor(q_pos * inv).astype(jnp.int32)
+    s_cell = jnp.floor(s_pos * inv).astype(jnp.int32)
+    big = jnp.int32(1 << 24)
+    cmin = jnp.minimum(
+        jnp.min(jnp.where(q_valid[:, None], q_cell, big), axis=0),
+        jnp.min(jnp.where(s_valid[:, None], s_cell, big), axis=0),
+    )
+    half = jnp.array(
+        [1 << (bits.bx - 1), 1 << (bits.by - 1), 1 << (bits.bz - 1)], jnp.int32
+    )
+    q_cell = q_cell - cmin - half
+    s_cell = s_cell - cmin - half
+
+    s_keys = pack_coords(s_ids, s_cell, bits, extra_invalid=jnp.logical_not(s_valid))
+    order = jnp.argsort(s_keys)
+    skeys = s_keys[order]
+    pos_s = jnp.take(s_pos, order, axis=0)
+
+    offs = jnp.asarray(_CELL_OFFSETS)
+    qc = q_cell[:, None, :] + offs[None, :, :]  # [Q, 27, 3]
+    qb = jnp.broadcast_to(q_ids[:, None], (nq, 27))
+    inv_mask = jnp.broadcast_to(jnp.logical_not(q_valid)[:, None], (nq, 27))
+    q_keys = pack_coords(
+        qb.reshape(-1), qc.reshape(-1, 3), bits,
+        extra_invalid=inv_mask.reshape(-1),
+    ).reshape(nq, 27)
+    start = run_starts(skeys, q_keys)  # [Q, 27]
+
+    slot = jnp.arange(cell_cap, dtype=jnp.int32)
+    cand = jnp.minimum(start[:, :, None] + slot[None, None, :], ns - 1)
+    in_cell = jnp.take(skeys, cand) == q_keys[:, :, None]
+    d = q_pos[:, None, None, :] - jnp.take(pos_s, cand, axis=0)
+    dist2 = jnp.sum(d * d, axis=-1)
+    ok = in_cell & (dist2 <= radius * radius) & (q_keys[:, :, None] != INVALID_KEY)
+
+    m = 27 * cell_cap
+    dist2 = jnp.where(ok, dist2, jnp.inf).reshape(nq, m)
+    candf = jnp.where(ok, cand, 0).reshape(nq, m)
+    kk = min(k, m)
+    neg, sel = jax.lax.top_k(-dist2, kk)
+    sel_sorted = jnp.take_along_axis(candf, sel, axis=1)
+    idx = jnp.take(order, sel_sorted)
+    dist2 = -neg
+    idx = jnp.where(jnp.isfinite(dist2), idx, -1)
+    if kk < k:
+        pad = k - kk
+        idx = jnp.concatenate([idx, jnp.full((nq, pad), -1, jnp.int32)], axis=1)
+        dist2 = jnp.concatenate(
+            [dist2, jnp.full((nq, pad), jnp.inf, dist2.dtype)], axis=1
+        )
+    return idx, dist2
+
+
 def cell_seed_labels(
     pos: jnp.ndarray,
     ids: jnp.ndarray,

@@ -168,7 +168,20 @@ def panoptic_config_from_yaml(
         w_embed=float(lw.get("embedding_loss", 1.0)),
         w_mask=float(lw.get("mask_loss", 1.0)),
         num_samples=tr.batch_size,
-        backbone=backbone,
+        # model yaml may pick a backbone family (sparse-conv "paper"/"tiny",
+        # point-based "kpconv"/"pointnet2"); an explicit CLI backbone=...
+        # (anything but the "paper" default) still overrides the yaml
+        backbone=(str(m.get("backbone", backbone)) if backbone == "paper" else backbone),
+        grid_size=grid,
+        point_levels=int(m.get("point_levels", 4)),
+        kp_base_channels=int(m.get("kp_base_channels", 64)),
+        kp_num_kernel_points=int(m.get("kp_num_kernel_points", 15)),
+        kp_sigma=float(m.get("kp_sigma", 1.0)),
+        kp_max_neighbors=int(m.get("kp_max_neighbors", 16)),
+        pn2_base_channels=int(m.get("pn2_base_channels", 32)),
+        pn2_radius_scale=float(m.get("pn2_radius_scale", 2.5)),
+        pn2_nsample=int(m.get("pn2_nsample", 16)),
+        point_cell_cap=int(m.get("point_cell_cap", 16)),
     )
     if m.get("scorer_bits"):
         kwargs["scorer_bits"] = tuple(int(b) for b in m["scorer_bits"])

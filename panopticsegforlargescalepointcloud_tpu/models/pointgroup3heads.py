@@ -56,6 +56,7 @@ from .plans import (
     scorer_unet_plan,
     tiny_backbone_plan,
 )
+from .point_backbones import KPConvBackbone, PointNet2Backbone
 from .unet import SparseEncoder, SparseUNet
 
 # PointGroupEmbed strategy table (Setting I family; reference
@@ -186,7 +187,27 @@ class PanopticConfig:
     # force it. 3.6-4.9x per conv on v5e (scripts/bench_winconv.py).
     use_winconv: str = "auto"
     compute_dtype: str = "bfloat16"  # conv gather/GEMM precision (fp32 accum)
-    backbone: str = "paper"  # "paper" (7 levels) | "tiny" (3 levels, CI)
+    # "paper" (7-level sparse-conv UNet) | "tiny" (3 levels, CI) |
+    # "kpconv" (kernel-point conv UNet, reference KPConvPaper) |
+    # "pointnet2" (PointNet++ MSG UNet, reference PointNet2_D)
+    backbone: str = "paper"
+    # --- point-backbone (KPConv / PointNet++) knobs; see
+    # models/point_backbones.py. grid_size is the data voxel size in meters
+    # (level-l neighborhoods scale with grid_size * 2^l).
+    grid_size: float = 0.2
+    point_levels: int = 4  # strided levels for point backbones
+    kp_base_channels: int = 64
+    kp_num_kernel_points: int = 15
+    kp_sigma: float = 1.0
+    kp_max_neighbors: int = 16
+    pn2_base_channels: int = 32
+    pn2_radius_scale: float = 2.5
+    pn2_nsample: int = 16
+    # candidate scan budget per hash cell in the point backbones' radius
+    # queries; cells have side = the query radius, so dense clouds with wide
+    # grouping radii need more (truncation drops candidates in scan order,
+    # which is absolute-frame-dependent - raise until neighbor sets saturate)
+    point_cell_cap: int = 16
     use_bricks: bool = False  # brick-dense submanifold convs (see PLAN.md)
     # rematerialize UNet levels in backward (needed to fit the full train
     # step in HBM at paper batch sizes; no-op at eval) - models/unet.py
@@ -221,7 +242,13 @@ class PanopticConfig:
         return self.use_winconv in (True, "on", "true", "1")
 
     @property
+    def is_point_backbone(self) -> bool:
+        return self.backbone in ("kpconv", "pointnet2")
+
+    @property
     def num_down(self) -> int:
+        if self.is_point_backbone:
+            return self.point_levels
         return 6 if self.backbone == "paper" else 2
 
     @property
@@ -301,14 +328,40 @@ class PointGroup3HeadsNet(nn.Module):
     cfg: PanopticConfig
 
     def setup(self):
-        if self.cfg.backbone == "paper":
-            plan = paper_backbone_plan(self.cfg.feat_dim, self.cfg.in_feat)
+        if self.cfg.backbone == "kpconv":
+            self.backbone = KPConvBackbone(
+                num_levels=self.cfg.point_levels,
+                base_channels=self.cfg.kp_base_channels,
+                out_nc=self.cfg.in_feat,
+                grid_size=self.cfg.grid_size,
+                sigma=self.cfg.kp_sigma,
+                num_kernel_points=self.cfg.kp_num_kernel_points,
+                max_neighbors=self.cfg.kp_max_neighbors,
+                cell_cap=self.cfg.point_cell_cap,
+                compute_dtype=self.cfg.compute_dtype,
+                remat=self.cfg.remat,
+            )
+        elif self.cfg.backbone == "pointnet2":
+            self.backbone = PointNet2Backbone(
+                num_levels=self.cfg.point_levels,
+                base_channels=self.cfg.pn2_base_channels,
+                out_nc=self.cfg.in_feat,
+                grid_size=self.cfg.grid_size,
+                radius_scale=self.cfg.pn2_radius_scale,
+                nsample=self.cfg.pn2_nsample,
+                cell_cap=self.cfg.point_cell_cap,
+                compute_dtype=self.cfg.compute_dtype,
+                remat=self.cfg.remat,
+            )
         else:
-            plan = tiny_backbone_plan(self.cfg.feat_dim, self.cfg.in_feat)
-        self.backbone = SparseUNet(
-            **plan, gemm_mode=self.cfg.gemm_mode,
-            compute_dtype=self.cfg.compute_dtype, remat=self.cfg.remat,
-        )
+            if self.cfg.backbone == "paper":
+                plan = paper_backbone_plan(self.cfg.feat_dim, self.cfg.in_feat)
+            else:
+                plan = tiny_backbone_plan(self.cfg.feat_dim, self.cfg.in_feat)
+            self.backbone = SparseUNet(
+                **plan, gemm_mode=self.cfg.gemm_mode,
+                compute_dtype=self.cfg.compute_dtype, remat=self.cfg.remat,
+            )
         f = self.cfg.in_feat
         self.semantic_mlp = PointMLP((f,), use_bias=False)
         self.semantic_out = nn.Dense(self.cfg.num_classes)
@@ -338,9 +391,20 @@ class PointGroup3HeadsNet(nn.Module):
             self.mask_score_a = nn.Dense(f)
             self.mask_score_b = nn.Dense(1)
 
-    def backbone_heads(self, feats, hier: Hierarchy, train: bool, momentum=0.1):
+    def backbone_heads(
+        self, feats, hier: Hierarchy, train: bool, momentum=0.1, pos=None
+    ):
         mask = hier.grids[0].mask
-        x = self.backbone(feats, hier, train, momentum)
+        if self.cfg.is_point_backbone:
+            if pos is None:
+                # init / shape-tracing fallback: voxel centers from the
+                # level-0 integer coords (values only differ, never shapes)
+                pos = (
+                    hier.grids[0].coords.astype(jnp.float32) + 0.5
+                ) * self.cfg.grid_size
+            x = self.backbone(feats, pos, hier, train, momentum)
+        else:
+            x = self.backbone(feats, hier, train, momentum)
         sem = self.semantic_out(self.semantic_mlp(x, mask, train, momentum))
         sem = jax.nn.log_softmax(sem, axis=-1)
         if self.cfg.has_offset:

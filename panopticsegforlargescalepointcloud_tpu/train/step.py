@@ -94,6 +94,7 @@ def panoptic_forward(
         hier,
         train,
         momentum,
+        pos=db.pos,
         method=PointGroup3HeadsNet.backbone_heads,
         mutable=mutable,
     )
