@@ -102,8 +102,12 @@ def main():
                 f"num_devices={nd} but only {len(jax.devices())} devices"
             )
         mesh = make_mesh(jax.devices()[:nd])
+    # tiles_per_dispatch=g batches g tiles into one single-device forward
+    # (amortizes dispatch latency; exact per-tile results - see
+    # FullSceneEvaluator). Mutually exclusive with num_devices>1.
     evaluator = FullSceneEvaluator(
-        pcfg, model, params, stats, dataset, capacity, mesh=mesh
+        pcfg, model, params, stats, dataset, capacity, mesh=mesh,
+        tiles_per_dispatch=int(cfg.get("tiles_per_dispatch", 1)),
     )
     out_dir = str(cfg.get("out_dir", "eval_outputs"))
     # manifest: eval index -> source file, so evaluation_stats_FOR.py can

@@ -38,12 +38,28 @@ class FullSceneEvaluator:
         dataset: PanopticFileDataset,
         capacity: int = 65536,
         mesh=None,
+        tiles_per_dispatch: int = 1,
     ):
         """``mesh``: optional jax.sharding.Mesh - tiles are then batched one
         per device through a single sharded forward (parallel/mesh.py:
         make_parallel_eval_forward); block merging stays on host in tile
-        order, so results match the sequential path bit-for-bit."""
+        order, so results match the sequential path bit-for-bit.
+
+        ``tiles_per_dispatch``: single-device tile batching - g tiles ride
+        one forward as a g-sample batch (the same multi-sample shapes
+        training uses), amortizing per-dispatch latency and phase bubbles
+        across tiles. Per-tile results match g=1 exactly while the proposal
+        budget does not bind: clustering is per-sample by construction
+        (folded batch ids in region grow, per-sample mean-shift packs), the
+        shared region-grow budget is scaled by g, and proposals are split by
+        ``prop_batch`` before host NMS/merge. Embed-family random feature
+        subsets are the one documented divergence (one subset draw per
+        dispatch, not per tile). Mutually exclusive with ``mesh``."""
+        import dataclasses
+
         assert pcfg.num_samples == 1, "full-scene eval runs tiles one by one"
+        g = max(int(tiles_per_dispatch), 1)
+        assert mesh is None or g == 1, "tiles_per_dispatch needs mesh=None"
         self.pcfg = pcfg
         self.model = model
         self.params = params
@@ -51,6 +67,7 @@ class FullSceneEvaluator:
         self.dataset = dataset
         self.capacity = capacity
         self.mesh = mesh
+        self.group = g
         if mesh is not None:
             from ..parallel import make_parallel_eval_forward, replicate
 
@@ -58,7 +75,19 @@ class FullSceneEvaluator:
             self.params = replicate(mesh, self.params)
             self.batch_stats = replicate(mesh, self.batch_stats)
         else:
-            self._fwd = make_eval_forward(pcfg, model, with_clustering=True)
+            fcfg = pcfg
+            if g > 1:
+                # global (whole-batch) clustering budgets scale with the
+                # tile count; per-sample budgets (ms/hd point caps + cluster
+                # counts) already multiply through num_samples
+                fcfg = dataclasses.replace(
+                    pcfg,
+                    num_samples=g,
+                    max_props_rg=pcfg.max_props_rg * g,
+                    rg_point_cap=(pcfg.rg_point_cap * g
+                                  if pcfg.rg_point_cap else 0),
+                )
+            self._fwd = make_eval_forward(fcfg, model, with_clustering=True)
 
     def run(
         self,
@@ -98,24 +127,31 @@ class FullSceneEvaluator:
                         acc, tiles, th, remap, seed_base=vote * len(tiles)
                     )
                 else:
-                    # one-deep pipeline: dispatch tile t's forward (async),
-                    # then host-merge tile t-1 while the device runs -
-                    # collate/merge/extract hide under device compute
+                    # one-deep pipeline: dispatch group t's forward (async),
+                    # then host-merge group t-1 while the device runs -
+                    # collate/merge/extract hide under device compute.
+                    # groups of `self.group` tiles share one dispatch (the
+                    # last group pads by repeating its final tile; padded
+                    # samples are computed but never accumulated)
+                    g = self.group
                     pending = None
-                    for ti, (tile, tile_full_ids) in enumerate(tiles):
+                    for start in range(0, len(tiles), g):
+                        group = tiles[start : start + g]
+                        padded = group + [group[-1]] * (g - len(group))
                         vb = collate_tiles(
-                            [tile], capacity=self.capacity, num_tiles=1
+                            [t for t, _ in padded],
+                            capacity=self.capacity * g, num_tiles=g,
                         )
-                        # embed family: distinct per-(vote, tile) counter so
-                        # random feature subsets resample per forward like
+                        # embed family: distinct per-(vote, dispatch) counter
+                        # so random feature subsets resample per forward like
                         # the reference's torch.multinomial (step.py contract)
                         db, out = self._fwd(
                             self.params, self.batch_stats, batch_arrays(vb),
-                            subset_seed=vote * len(tiles) + ti,
+                            subset_seed=vote * len(tiles) + start,
                         )
                         if pending is not None:
                             self._accumulate_device(acc, *pending, th, remap)
-                        pending = (db, out, tile_full_ids)
+                        pending = (db, out, [ids for _, ids in group])
                     if pending is not None:
                         self._accumulate_device(acc, *pending, th, remap)
             sem, ins = acc.finalise(
@@ -161,21 +197,26 @@ class FullSceneEvaluator:
 
     def _process_tile(self, acc, tile, tile_full_ids, th, remap=None,
                       subset_seed=0):
+        assert self.group == 1
         vb = collate_tiles([tile], capacity=self.capacity, num_tiles=1)
         db, out = self._fwd(self.params, self.batch_stats, batch_arrays(vb),
                             subset_seed=subset_seed)
-        self._accumulate_device(acc, db, out, tile_full_ids, th, remap)
+        self._accumulate_device(acc, db, out, [tile_full_ids], th, remap)
 
-    def _accumulate_device(self, acc, db, out, tile_full_ids, th, remap=None):
+    def _accumulate_device(self, acc, db, out, ids_list, th, remap=None):
+        """Pull one dispatch's outputs to host and accumulate its tiles in
+        order. ``ids_list``: per-tile full-cloud index arrays - one entry per
+        REAL tile in the dispatch (padded repeat samples are skipped)."""
         import jax
 
-        # ONE device_get for everything this tile needs on the host: each
-        # np.asarray is a separate transfer round trip, and over a remote
-        # device link (axon tunnel; same shape as a disaggregated serving
-        # host) per-call latency x 9 arrays was a visible slice of the
-        # per-tile wall
+        # ONE device_get for everything this dispatch needs on the host:
+        # each np.asarray is a separate transfer round trip, and over a
+        # remote device link (axon tunnel; same shape as a disaggregated
+        # serving host) per-call latency x 9 arrays was a visible slice of
+        # the per-tile wall
         fetch = {
             "mask": db.grid.mask,
+            "batch": db.grid.batch,
             "origin": db.origin_id,
             "sem": out.semantic_logits,
         }
@@ -189,17 +230,39 @@ class FullSceneEvaluator:
         if out.cluster_scores is not None:
             fetch["scores"] = out.cluster_scores
         host = jax.device_get(fetch)
-        self._accumulate(
-            acc,
-            host["mask"],
-            host["origin"],
-            host["sem"],
-            host.get("props"),
-            host.get("scores"),
-            tile_full_ids,
-            th,
-            remap,
-        )
+        props = host.get("props")
+        for ti, tile_full_ids in enumerate(ids_list):
+            sel = host["mask"] & (host["batch"] == ti)
+            props_ti = props
+            if props is not None and len(ids_list) > 1:
+                # restrict the flat membership table + proposal axis to this
+                # tile's proposals (members inherit via their prop_id)
+                pid = props["prop_id"]
+                safe = np.maximum(pid, 0)
+                mem = (
+                    props["member_valid"]
+                    & (pid >= 0)
+                    & (props["prop_batch"][safe] == ti)
+                )
+                props_ti = dict(
+                    point_idx=props["point_idx"],
+                    prop_id=np.where(mem, pid, -1),
+                    member_valid=mem,
+                    prop_valid=props["prop_valid"] & (props["prop_batch"] == ti),
+                    prop_batch=props["prop_batch"],
+                    prop_type=props["prop_type"],
+                )
+            self._accumulate(
+                acc,
+                sel,
+                host["origin"],
+                host["sem"],
+                props_ti,
+                host.get("scores"),
+                tile_full_ids,
+                th,
+                remap,
+            )
 
     def _process_tiles_mesh(self, acc, tiles, th, remap=None, seed_base=0):
         """One tile per mesh device through the sharded forward; host merge

@@ -103,6 +103,53 @@ class TestFullSceneEval:
         assert r["mMUCov"] > 0.97
 
 
+class TestGroupedDispatchEval:
+    def test_matches_sequential(self, tmp_path, rng):
+        """tiles_per_dispatch=2 (two tiles as one 2-sample forward) must
+        reproduce the per-tile path: clustering is per-sample by
+        construction and proposals split by prop_batch before host
+        NMS/merge (train/evaluator.py grouped dispatch)."""
+        ply = str(tmp_path / "forest.ply")
+        make_forest_ply(ply, rng, n_trees=4, extent=14.0)
+        ds = PanopticFileDataset(
+            TREEINS_SPEC, [ply], grid_size=0.2, radius=7.0, keep_raw=True, rng=rng
+        )
+        cfg = PanopticConfig(
+            num_classes=2, stuff_classes=(0,), backbone="tiny", feat_dim=4,
+            in_feat=8, num_samples=1, max_instances=16, max_props_rg=32,
+            ms_max_seeds=32, ms_max_clusters=8, ms_point_cap=2048,
+            cluster_radius=0.3, min_cluster_points=10,
+        )
+        model = PointGroup3HeadsNet(cfg)
+        from panopticsegforlargescalepointcloud_tpu.data import collate_tiles
+
+        tile = ds.sample_train_tile(rng)
+        vb = collate_tiles([tile], capacity=4096, num_tiles=1)
+        db, hier = prepare_example(batch_arrays(vb), cfg.num_down)
+        state = init_state(
+            cfg, model, optax.adam(1e-3), db, hier, jax.random.PRNGKey(0)
+        )
+
+        seq = FullSceneEvaluator(
+            cfg, model, state.params, state.batch_stats, ds, capacity=4096
+        ).run(out_dir=str(tmp_path / "seq_g"))
+        grp = FullSceneEvaluator(
+            cfg, model, state.params, state.batch_stats, ds, capacity=4096,
+            tiles_per_dispatch=2,
+        ).run(out_dir=str(tmp_path / "grp"))
+        assert len(seq) == len(grp) == 1
+        for k, v in seq[0].items():
+            if isinstance(v, float):
+                assert grp[0][k] == pytest.approx(v, abs=1e-6), k
+        # the stitched label fields themselves must match, not just metrics
+        from panopticsegforlargescalepointcloud_tpu.data.ply import read_ply
+
+        for name in ("Semantic_results_forEval_0", "Instance_Results_forEval0"):
+            a = read_ply(str(tmp_path / "seq_g" / f"{name}.ply"))
+            b = read_ply(str(tmp_path / "grp" / f"{name}.ply"))
+            np.testing.assert_array_equal(a["preds"], b["preds"])
+
+
 class TestMeshParallelEval:
     def test_matches_sequential(self, tmp_path, rng):
         """num_devices>1 eval (one tile per device, sharded forward) must
