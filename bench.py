@@ -276,9 +276,13 @@ def measure_e2e(num_devices: int = 1):
             from panopticsegforlargescalepointcloud_tpu.parallel import make_mesh
 
             mesh = make_mesh(jax.devices()[:num_devices])
+        # BENCH_E2E_GROUP=g batches g tiles per single-device dispatch
+        # (FullSceneEvaluator tiles_per_dispatch; exact - tested parity)
+        group = int(os.environ.get("BENCH_E2E_GROUP", "1"))
         ev = FullSceneEvaluator(
             cfg, model, state.params, state.batch_stats, ds,
             capacity=32768, mesh=mesh,
+            tiles_per_dispatch=group if mesh is None else 1,
         )
         out1 = os.path.join(tmp, "warm")
         ev.run(out_dir=out1, ply_output=False)  # compile + warm
@@ -287,7 +291,7 @@ def measure_e2e(num_devices: int = 1):
         wall = time.perf_counter() - t0
         n_pts = len(ds.raw_clouds[0]["pos"])
         n_tiles = len(ds.test_tiles(0))
-        return {
+        rec = {
             "scene_points": n_pts,
             "tiles": n_tiles,
             "devices": num_devices,
@@ -295,6 +299,9 @@ def measure_e2e(num_devices: int = 1):
             "e2e_points_per_s": round(n_pts / wall, 1),
             "scenes_per_hour": round(3600.0 / wall, 2),
         }
+        if group > 1:
+            rec["tiles_per_dispatch"] = group
+        return rec
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -307,10 +314,12 @@ def _write_e2e(e2e):
     if os.path.exists(path):
         old = json.load(open(path))
         runs = old["runs"] if isinstance(old, dict) and "runs" in old else [old]
-    runs = [r for r in runs if r.get("devices") != e2e["devices"]
-            or r.get("platform") != e2e["platform"]]
+    key = lambda r: (r.get("devices"), r.get("platform"),
+                     r.get("tiles_per_dispatch", 1))
+    runs = [r for r in runs if key(r) != key(e2e)]
     runs.append(e2e)
-    runs.sort(key=lambda r: (r.get("platform", ""), r.get("devices", 1)))
+    runs.sort(key=lambda r: (r.get("platform", ""), r.get("devices", 1),
+                             r.get("tiles_per_dispatch", 1)))
     with open(path, "w") as f:
         json.dump({"runs": runs}, f, indent=1)
 
