@@ -123,11 +123,18 @@ def region_grow_folded(
     cell_cap: int = 16,
     max_iters: int = 64,
     point_cap: int = 0,
+    dense_pull: bool = False,
 ) -> RegionGrowResult:
     """:func:`region_grow` with the class folded into the cell key (static
     ``num_classes`` / ``num_samples`` known from the model config): candidate
     slots only ever hold same-sample same-class points, so no edge budget is
     wasted and no post-filter pass is needed.
+
+    ``dense_pull`` (TPU, requires ``point_cap``): propagate over the EXACT
+    radius graph with the all-pairs MXU formulation
+    (:mod:`.dense_grow`) instead of building edge lists - no k/cell_cap
+    truncation, no candidate gathers/sorts. Falls back to the edge path
+    when the compacted shape does not tile (``dense_grow.supports_dense``).
 
     ``point_cap`` > 0 compacts the eligible (grow_mask) rows into a [T] row
     set before the radius graph and propagation run, so every per-row cost
@@ -155,15 +162,29 @@ def region_grow_folded(
         cpos = jnp.take(pos, rows_safe, axis=0)
         cbatch = jnp.take(batch, rows_safe)
         cids = cbatch * jnp.int32(num_classes) + jnp.take(sem_class, rows_safe)
-        fwd, rev, trunc = radius_graph(
-            cpos, cids, rvalid, radius, k=k_neighbors, cell_cap=cell_cap,
-            bits=bits,
-        )
-        init = cell_seed_labels(cpos, cids, rvalid, radius, bits)
-        r = _grow_on_edges(
-            fwd, rev, cbatch, rvalid, max_proposals, min_cluster_size,
-            max_iters, init_labels=init,
-        )
+        from .dense_grow import dense_components, supports_dense
+
+        if dense_pull and supports_dense(t):
+            # invalid rows carry junk cids (clamped gathers) - excluded by
+            # their +inf norms inside dense_components, not by id
+            init = cell_seed_labels(cpos, cids, rvalid, radius, bits)
+            labels = dense_components(
+                cpos, cids, rvalid, radius, init, max_iters
+            )
+            r = _finalize_components(
+                labels, cbatch, rvalid, max_proposals, min_cluster_size
+            )
+            trunc = jnp.zeros((), jnp.int32)  # exact graph: nothing truncated
+        else:
+            fwd, rev, trunc = radius_graph(
+                cpos, cids, rvalid, radius, k=k_neighbors, cell_cap=cell_cap,
+                bits=bits,
+            )
+            init = cell_seed_labels(cpos, cids, rvalid, radius, bits)
+            r = _grow_on_edges(
+                fwd, rev, cbatch, rvalid, max_proposals, min_cluster_size,
+                max_iters, init_labels=init,
+            )
         point_prop = jnp.full((n + 1,), -1, jnp.int32).at[
             jnp.where(rvalid, rows_safe, n)
         ].set(r.point_prop, mode="drop")[:n]
@@ -232,7 +253,21 @@ def _grow_on_edges(
     labels, _, _ = jax.lax.while_loop(
         cond, body, (init_labels, jnp.bool_(True), jnp.int32(0))
     )
+    return _finalize_components(
+        labels, batch, grow_mask, max_proposals, min_cluster_size
+    )
 
+
+def _finalize_components(
+    labels: jnp.ndarray,
+    batch: jnp.ndarray,
+    grow_mask: jnp.ndarray,
+    max_proposals: int,
+    min_cluster_size: int,
+) -> RegionGrowResult:
+    """Converged min-member-row labels -> size filter + dense proposal ids
+    (shared by the edge and dense-pull propagation paths)."""
+    n = labels.shape[0]
     # component sizes; drop small ones
     sizes = segment_sum(
         grow_mask.astype(jnp.int32), jnp.where(grow_mask, labels, -1), n

@@ -150,6 +150,7 @@ def panoptic_config_from_yaml(
             m.get("cal_iou_based_on_mask_start_epoch", 200)
         ),
         rg_point_cap=int(m.get("rg_point_cap", 0)),
+        rg_dense=str(m.get("rg_dense", "auto")),
         scorer_capacity_mult=float(m.get("scorer_capacity_mult", 1.0)),
         ms_point_cap=int(m.get("ms_point_cap", 16384)),
         hd_point_cap=int(m.get("hd_point_cap", 2048)),

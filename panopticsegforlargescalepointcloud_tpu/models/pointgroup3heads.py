@@ -160,6 +160,11 @@ class PanopticConfig:
     # halving candidate gathers + top_k width vs 16 (truncation only trims
     # edges of over-dense cells - components stay connected)
     rg_cell_cap: int = 8
+    # dense MXU min-pull region growing (cluster/dense_grow.py): propagate
+    # over the EXACT all-pairs radius graph via distance matmuls instead of
+    # building edge lists (no k/cell_cap truncation). Needs rg_point_cap;
+    # "auto" = on when running on TPU, "on"/"off" to force.
+    rg_dense: str = "auto"
     min_cluster_size: int = 10
     # HDBSCAN-style density grouping (embed family; reference hyperparams
     # hdbscan_cluster.py:9)
@@ -240,6 +245,16 @@ class PanopticConfig:
 
             return jax.default_backend() == "tpu"
         return self.use_winconv in (True, "on", "true", "1")
+
+    @property
+    def rg_dense_enabled(self) -> bool:
+        if not self.rg_point_cap:
+            return False  # dense pull runs on the compacted row set only
+        if self.rg_dense == "auto":
+            import jax
+
+            return jax.default_backend() == "tpu"
+        return self.rg_dense in (True, "on", "true", "1")
 
     @property
     def is_point_backbone(self) -> bool:
@@ -585,6 +600,7 @@ def _embed_proposals(
                 k_neighbors=cfg.rg_k_neighbors,
                 cell_cap=cfg.rg_cell_cap,
                 point_cap=cfg.rg_point_cap,
+                dense_pull=cfg.rg_dense_enabled,
             )
             overflow = overflow + rg.overflow
             gtrunc = gtrunc + rg.graph_trunc
@@ -727,6 +743,7 @@ def build_proposals(
             k_neighbors=cfg.rg_k_neighbors,
             cell_cap=cfg.rg_cell_cap,
             point_cap=cfg.rg_point_cap,
+            dense_pull=cfg.rg_dense_enabled,
         )
         overflow = overflow + rg.overflow
         gtrunc = gtrunc + rg.graph_trunc
