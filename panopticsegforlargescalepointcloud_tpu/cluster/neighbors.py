@@ -12,9 +12,10 @@ found by a single co-sort, see :func:`run_starts` - per-query binary search
 profiled ~6x slower on v5e, cf. ``ops/hashing.lookup``). Candidates within
 the radius are compacted to the K nearest with ``top_k``. All shapes static.
 
-Cells are shifted by the global minimum before packing, so absolute input
-frames fit the bit budget as long as the *extent* per sample stays within
-``2^bits`` cells (~92 m at r=0.18 with the default 9-bit axes).
+Cells are shifted by the *per-sample* minimum before packing, so each sample
+only needs its own extent to fit the bit budget (~92 m at r=0.18 with the
+default 9-bit axes) — samples in one batch may keep distant absolute frames
+(e.g. un-centered far-apart tiles) without their packed keys overflowing.
 """
 
 from __future__ import annotations
@@ -72,16 +73,28 @@ def run_starts(sorted_keys: jnp.ndarray, query_keys: jnp.ndarray) -> jnp.ndarray
     return res[:m].reshape(shape)
 
 
-def _shifted_cells(pos, valid, radius, bits: BitLayout):
-    """Cell coords shifted so the global (valid) minimum packs to 0, using the
-    full 2^b unsigned range per axis."""
+# Static scatter-table size for per-sample cell minima; sample ids are tiny
+# (train batches of ~4, a handful of eval tiles per device).
+_MAX_SAMPLES = 256
+
+
+def _shifted_cells(pos, batch, valid, radius, bits: BitLayout):
+    """Cell coords shifted so each sample's (valid) minimum packs to 0, using
+    the full 2^b unsigned range per axis.
+
+    Per-sample (not global-batch) shifting means a batch whose samples sit in
+    distant absolute frames still packs every sample into the bit budget; only
+    the per-sample *extent* must fit 2^bits cells.
+    """
     cell = jnp.floor(pos * (1.0 / radius)).astype(jnp.int32)
     big = jnp.int32(1 << 24)
-    cmin = jnp.min(jnp.where(valid[:, None], cell, big), axis=0)
+    cellw = jnp.where(valid[:, None], cell, big)
+    b = jnp.clip(batch, 0, _MAX_SAMPLES - 1)
+    cmin = jnp.full((_MAX_SAMPLES, 3), big, jnp.int32).at[b].min(cellw)
     half = jnp.array(
         [1 << (bits.bx - 1), 1 << (bits.by - 1), 1 << (bits.bz - 1)], jnp.int32
     )
-    return cell - cmin - half
+    return cell - cmin[b] - half
 
 
 def radius_neighbors(
@@ -109,7 +122,7 @@ def radius_neighbors(
       (nbr_idx [N, k] int32 with -1 padding, nbr_dist2 [N, k] f32)
     """
     n = pos.shape[0]
-    cell = _shifted_cells(pos, valid, radius, bits)
+    cell = _shifted_cells(pos, batch, valid, radius, bits)
     keys = pack_coords(batch, cell, bits, extra_invalid=jnp.logical_not(valid))
     order = jnp.argsort(keys)
     skeys = keys[order]
@@ -262,7 +275,7 @@ def cell_seed_labels(
     """
     n = pos.shape[0]
     half_r = radius * 0.5
-    cell = _shifted_cells(pos, valid, half_r, bits)
+    cell = _shifted_cells(pos, ids, valid, half_r, bits)
     keys = pack_coords(ids, cell, bits, extra_invalid=jnp.logical_not(valid))
     order = jnp.argsort(keys)
     skeys = keys[order]
@@ -315,7 +328,7 @@ def radius_graph(
     mis-framed tiles are detectable instead of silently under-merged.
     """
     n = pos.shape[0]
-    cell = _shifted_cells(pos, valid, radius, bits)
+    cell = _shifted_cells(pos, ids, valid, radius, bits)
     keys = pack_coords(ids, cell, bits, extra_invalid=jnp.logical_not(valid))
     order = jnp.argsort(keys)
     skeys = keys[order]

@@ -41,6 +41,33 @@ class TestRadiusNeighbors:
             assert got == expect, f"row {i}: {got ^ expect}"
 
 
+class TestPerSampleCellShift:
+    def test_distant_absolute_frames(self, rng):
+        # ADVICE r2: two samples ~5 km apart in one batch. With a global-min
+        # cell shift, sample 1's cell coords would overflow the 9-bit axis
+        # budget (512 cells * 0.5 m), its keys would pack INVALID, and its
+        # rows would silently get zero neighbors. Per-sample shifting keeps
+        # both frames in budget; only the per-sample extent matters.
+        n_half = 100
+        base = rng.random((n_half, 3)).astype(np.float32) * 4
+        pos = np.concatenate([base, base + np.float32(5000.0)])
+        batch = np.repeat(np.array([0, 1], np.int32), n_half)
+        valid = np.ones(2 * n_half, bool)
+        r = 0.5
+        nbr, _ = radius_neighbors(
+            jnp.asarray(pos), jnp.asarray(batch), jnp.asarray(valid), r,
+            k=64, cell_cap=64,
+        )
+        nbr = np.asarray(nbr)
+        # identical local geometry => identical neighbor sets (mod the offset)
+        for i in range(n_half):
+            near = set(nbr[i][nbr[i] >= 0].tolist())
+            far = set((nbr[n_half + i][nbr[n_half + i] >= 0] - n_half).tolist())
+            assert far == near, f"row {i}: {far ^ near}"
+            dd = np.linalg.norm(base - base[i], axis=1)
+            assert near == set(np.where(dd <= r)[0].tolist())
+
+
 class TestRegionGrow:
     def make_scene(self, rng, n=300):
         pos = rng.random((n, 3)).astype(np.float32) * 6
