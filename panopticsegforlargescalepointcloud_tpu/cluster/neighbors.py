@@ -12,10 +12,14 @@ found by a single co-sort, see :func:`run_starts` - per-query binary search
 profiled ~6x slower on v5e, cf. ``ops/hashing.lookup``). Candidates within
 the radius are compacted to the K nearest with ``top_k``. All shapes static.
 
-Cells are shifted by the *per-sample* minimum before packing, so each sample
-only needs its own extent to fit the bit budget (~92 m at r=0.18 with the
-default 9-bit axes) — samples in one batch may keep distant absolute frames
-(e.g. un-centered far-apart tiles) without their packed keys overflowing.
+Cells are shifted by the *per-id* minimum before packing (for cross-set
+queries, the minimum over query ∪ support of the id), so each sample only
+needs its own extent to fit the bit budget (~92 m at r=0.18 with the default
+9-bit axes) — samples in one batch may keep distant absolute frames (e.g.
+un-centered far-apart tiles) without their packed keys overflowing. Callers
+whose ids exceed the default ``num_ids`` table (folded ids like
+``batch * C + class``) must pass their static id bound, or ids past the
+table collapse to one shared shift (ADVICE r3).
 """
 
 from __future__ import annotations
@@ -73,24 +77,30 @@ def run_starts(sorted_keys: jnp.ndarray, query_keys: jnp.ndarray) -> jnp.ndarray
     return res[:m].reshape(shape)
 
 
-# Static scatter-table size for per-sample cell minima; sample ids are tiny
-# (train batches of ~4, a handful of eval tiles per device).
+# Default scatter-table size for per-id cell minima; covers plain sample ids
+# (train batches of ~4, a handful of eval tiles per device). Callers passing
+# FOLDED ids (e.g. batch * num_classes + class, region_grow_folded) MUST size
+# ``num_ids`` from their static fold bound - ids >= the table size collapse
+# into the last slot and silently fall back to a shared (union-extent) shift
+# for those rows (ADVICE r3).
 _MAX_SAMPLES = 256
 
 
-def _shifted_cells(pos, batch, valid, radius, bits: BitLayout):
-    """Cell coords shifted so each sample's (valid) minimum packs to 0, using
+def _shifted_cells(pos, batch, valid, radius, bits: BitLayout,
+                   num_ids: int = _MAX_SAMPLES):
+    """Cell coords shifted so each id's (valid) minimum packs to 0, using
     the full 2^b unsigned range per axis.
 
-    Per-sample (not global-batch) shifting means a batch whose samples sit in
+    Per-id (not global-batch) shifting means a batch whose samples sit in
     distant absolute frames still packs every sample into the bit budget; only
-    the per-sample *extent* must fit 2^bits cells.
+    the per-id *extent* must fit 2^bits cells. ``num_ids``: static bound on
+    ``batch`` values (exact per-id shifts need every id < num_ids).
     """
     cell = jnp.floor(pos * (1.0 / radius)).astype(jnp.int32)
     big = jnp.int32(1 << 24)
     cellw = jnp.where(valid[:, None], cell, big)
-    b = jnp.clip(batch, 0, _MAX_SAMPLES - 1)
-    cmin = jnp.full((_MAX_SAMPLES, 3), big, jnp.int32).at[b].min(cellw)
+    b = jnp.clip(batch, 0, num_ids - 1)
+    cmin = jnp.full((num_ids, 3), big, jnp.int32).at[b].min(cellw)
     half = jnp.array(
         [1 << (bits.bx - 1), 1 << (bits.by - 1), 1 << (bits.bz - 1)], jnp.int32
     )
@@ -106,6 +116,7 @@ def radius_neighbors(
     cell_cap: int = 16,
     bits: BitLayout = DEFAULT_CELL_BITS,
     include_self: bool = True,
+    num_ids: int = _MAX_SAMPLES,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """K nearest neighbors within ``radius`` (same batch sample only).
 
@@ -117,12 +128,14 @@ def radius_neighbors(
       k: static neighbor budget per point.
       cell_cap: static scan budget per cell (points beyond it in a cell are
         invisible as *candidates*, but can still find their own neighbors).
+      num_ids: static bound on ``batch`` values (exact per-sample cell shifts
+        need every id < num_ids; callers passing folded ids must size this).
 
     Returns:
       (nbr_idx [N, k] int32 with -1 padding, nbr_dist2 [N, k] f32)
     """
     n = pos.shape[0]
-    cell = _shifted_cells(pos, batch, valid, radius, bits)
+    cell = _shifted_cells(pos, batch, valid, radius, bits, num_ids)
     keys = pack_coords(batch, cell, bits, extra_invalid=jnp.logical_not(valid))
     order = jnp.argsort(keys)
     skeys = keys[order]
@@ -182,6 +195,7 @@ def radius_query(
     k: int = 16,
     cell_cap: int = 16,
     bits: BitLayout = DEFAULT_CELL_BITS,
+    num_ids: int = _MAX_SAMPLES,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Cross-set fixed-K radius search: for each query row, up to ``k``
     nearest *support* rows within ``radius`` (same id only).
@@ -192,8 +206,9 @@ def radius_query(
     strided blocks at ``modules/KPConv/blocks.py:84`` and PointNet++ set
     abstraction): support rows are binned into cells of side ``radius``;
     every query scans its 27 adjacent cells up to ``cell_cap`` support rows
-    per cell. The cell shift is computed over the union of both sets so one
-    packing frame covers them.
+    per cell. The cell shift is per id over the UNION of both sets (query
+    and support of one sample must share a packing frame, but distinct
+    samples may keep distant absolute frames - ADVICE r3).
 
     Returns (idx [Q, k] int32 into support rows, -1 padding; dist2 [Q, k]
     f32, +inf padding), nearest first.
@@ -203,15 +218,17 @@ def radius_query(
     q_cell = jnp.floor(q_pos * inv).astype(jnp.int32)
     s_cell = jnp.floor(s_pos * inv).astype(jnp.int32)
     big = jnp.int32(1 << 24)
-    cmin = jnp.minimum(
-        jnp.min(jnp.where(q_valid[:, None], q_cell, big), axis=0),
-        jnp.min(jnp.where(s_valid[:, None], s_cell, big), axis=0),
-    )
+    # per-id minimum over query ∪ support (one shared frame per sample)
+    qi = jnp.clip(q_ids, 0, num_ids - 1)
+    si = jnp.clip(s_ids, 0, num_ids - 1)
+    cmin = jnp.full((num_ids, 3), big, jnp.int32)
+    cmin = cmin.at[qi].min(jnp.where(q_valid[:, None], q_cell, big))
+    cmin = cmin.at[si].min(jnp.where(s_valid[:, None], s_cell, big))
     half = jnp.array(
         [1 << (bits.bx - 1), 1 << (bits.by - 1), 1 << (bits.bz - 1)], jnp.int32
     )
-    q_cell = q_cell - cmin - half
-    s_cell = s_cell - cmin - half
+    q_cell = q_cell - cmin[qi] - half
+    s_cell = s_cell - cmin[si] - half
 
     s_keys = pack_coords(s_ids, s_cell, bits, extra_invalid=jnp.logical_not(s_valid))
     order = jnp.argsort(s_keys)
@@ -259,6 +276,7 @@ def cell_seed_labels(
     valid: jnp.ndarray,
     radius: float,
     bits: BitLayout,
+    num_ids: int = _MAX_SAMPLES,
 ) -> jnp.ndarray:
     """Initial union-find labels that pre-merge provably-connected points.
 
@@ -275,7 +293,7 @@ def cell_seed_labels(
     """
     n = pos.shape[0]
     half_r = radius * 0.5
-    cell = _shifted_cells(pos, ids, valid, half_r, bits)
+    cell = _shifted_cells(pos, ids, valid, half_r, bits, num_ids)
     keys = pack_coords(ids, cell, bits, extra_invalid=jnp.logical_not(valid))
     order = jnp.argsort(keys)
     skeys = keys[order]
@@ -301,6 +319,7 @@ def radius_graph(
     cell_cap: int = 16,
     bits: BitLayout = DEFAULT_CELL_BITS,
     with_reverse: bool = True,
+    num_ids: int = _MAX_SAMPLES,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetrized radius-graph adjacency for connectivity (region growing).
 
@@ -328,7 +347,7 @@ def radius_graph(
     mis-framed tiles are detectable instead of silently under-merged.
     """
     n = pos.shape[0]
-    cell = _shifted_cells(pos, ids, valid, radius, bits)
+    cell = _shifted_cells(pos, ids, valid, radius, bits, num_ids)
     keys = pack_coords(ids, cell, bits, extra_invalid=jnp.logical_not(valid))
     order = jnp.argsort(keys)
     skeys = keys[order]

@@ -145,7 +145,9 @@ def region_grow_folded(
     Thing rows beyond the cap are excluded and counted in ``overflow``
     (surfaced as ``cluster_overflow`` in train/eval metrics)."""
     n = pos.shape[0]
-    bits = _fold_bits(num_samples * num_classes)
+    num_ids = num_samples * num_classes  # static fold bound (ADVICE r3:
+    # per-id cell shifts need the scatter table sized to the folded id range)
+    bits = _fold_bits(num_ids)
 
     if point_cap and point_cap < n:
         t = point_cap
@@ -167,7 +169,8 @@ def region_grow_folded(
         if dense_pull and supports_dense(t):
             # invalid rows carry junk cids (clamped gathers) - excluded by
             # their +inf norms inside dense_components, not by id
-            init = cell_seed_labels(cpos, cids, rvalid, radius, bits)
+            init = cell_seed_labels(cpos, cids, rvalid, radius, bits,
+                                    num_ids=num_ids)
             labels = dense_components(
                 cpos, cids, rvalid, radius, init, max_iters
             )
@@ -178,9 +181,10 @@ def region_grow_folded(
         else:
             fwd, rev, trunc = radius_graph(
                 cpos, cids, rvalid, radius, k=k_neighbors, cell_cap=cell_cap,
-                bits=bits,
+                bits=bits, num_ids=num_ids,
             )
-            init = cell_seed_labels(cpos, cids, rvalid, radius, bits)
+            init = cell_seed_labels(cpos, cids, rvalid, radius, bits,
+                                    num_ids=num_ids)
             r = _grow_on_edges(
                 fwd, rev, cbatch, rvalid, max_proposals, min_cluster_size,
                 max_iters, init_labels=init,
@@ -195,9 +199,10 @@ def region_grow_folded(
 
     ids = batch * jnp.int32(num_classes) + sem_class
     fwd, rev, trunc = radius_graph(
-        pos, ids, grow_mask, radius, k=k_neighbors, cell_cap=cell_cap, bits=bits
+        pos, ids, grow_mask, radius, k=k_neighbors, cell_cap=cell_cap,
+        bits=bits, num_ids=num_ids,
     )
-    init = cell_seed_labels(pos, ids, grow_mask, radius, bits)
+    init = cell_seed_labels(pos, ids, grow_mask, radius, bits, num_ids=num_ids)
     r = _grow_on_edges(
         fwd, rev, batch, grow_mask, max_proposals, min_cluster_size, max_iters,
         init_labels=init,

@@ -68,6 +68,71 @@ class TestPerSampleCellShift:
             assert near == set(np.where(dd <= r)[0].tolist())
 
 
+class TestFoldedIdCellShift:
+    def test_folded_ids_past_default_table(self, rng):
+        """ADVICE r3 (medium): region_grow_folded folds ids as
+        batch * num_classes + class, which can exceed the default 256-slot
+        per-id min table; those ids must NOT collapse into a union-extent
+        shift (distant frames would overflow keys -> zero neighbors ->
+        spurious singleton components)."""
+        num_classes = 9
+        num_samples = 40  # folded ids up to 360 > 256
+        n_half = 60
+        # grid-quantized coords: pairwise d2 are multiples of 0.0625, all
+        # >= 0.015 from r2 = 0.64, so the float32 error of the +5000 m frame
+        # shift (~3e-3 in d2 after subtraction) cannot flip edge membership
+        base = (rng.integers(0, 9, (n_half, 3)) * 0.25).astype(np.float32)
+        # sample 39 sits 5 km away from sample 0; same local geometry
+        pos = np.concatenate([base, base + np.float32(5000.0)])
+        batch = np.repeat(np.array([0, num_samples - 1], np.int32), n_half)
+        sem = np.full(2 * n_half, num_classes - 1, np.int32)  # folded id 359
+        grow = np.ones(2 * n_half, bool)
+        res = region_grow_folded(
+            jnp.asarray(pos), jnp.asarray(sem), jnp.asarray(batch),
+            jnp.asarray(grow), radius=0.8, max_proposals=32,
+            num_classes=num_classes, num_samples=num_samples,
+            min_cluster_size=2, k_neighbors=16, cell_cap=16,
+        )
+        pp = np.asarray(res.point_prop)
+        # the far sample must cluster exactly like the near one
+        a, b = pp[:n_half], pp[n_half:]
+        assert (a >= 0).any()
+        assert ((a >= 0) == (b >= 0)).all()
+        ra = {x: i for i, x in enumerate(dict.fromkeys(a[a >= 0]))}
+        rb = {x: i for i, x in enumerate(dict.fromkeys(b[b >= 0]))}
+        assert [ra[x] for x in a[a >= 0]] == [rb[x] for x in b[b >= 0]]
+
+    def test_radius_query_distant_frames(self, rng):
+        """ADVICE r3 (low): cross-set radius_query must shift cells per id
+        over query ∪ support, not by one union min - samples in distant
+        absolute frames otherwise overflow silently."""
+        from panopticsegforlargescalepointcloud_tpu.cluster.neighbors import (
+            radius_query,
+        )
+
+        n_half = 50
+        # quantized coords: see test_folded_ids_past_default_table
+        qb = (rng.integers(0, 12, (n_half, 3)) * 0.25).astype(np.float32)
+        sb = (rng.integers(0, 12, (n_half, 3)) * 0.25).astype(np.float32)
+        q_pos = np.concatenate([qb, qb + np.float32(5000.0)])
+        s_pos = np.concatenate([sb, sb + np.float32(5000.0)])
+        ids = np.repeat(np.array([0, 1], np.int32), n_half)
+        ok = np.ones(2 * n_half, bool)
+        r = 0.6
+        idx, _ = radius_query(
+            jnp.asarray(q_pos), jnp.asarray(ids), jnp.asarray(ok),
+            jnp.asarray(s_pos), jnp.asarray(ids), jnp.asarray(ok),
+            radius=r, k=32, cell_cap=32,
+        )
+        idx = np.asarray(idx)
+        for i in range(n_half):
+            near = set(idx[i][idx[i] >= 0].tolist())
+            far = set((idx[n_half + i][idx[n_half + i] >= 0] - n_half).tolist())
+            assert far == near, f"row {i}: {far ^ near}"
+            dd = np.linalg.norm(sb - qb[i], axis=1)
+            assert near == set(np.where(dd <= r)[0].tolist())
+
+
 class TestRegionGrow:
     def make_scene(self, rng, n=300):
         pos = rng.random((n, 3)).astype(np.float32) * 6
