@@ -16,12 +16,37 @@ clustering+ScoreNet on device, block merging on host) and writes it to
 bench_phases.json (stderr summary; stdout stays the single JSON line).
 """
 
+import dataclasses
 import json
 from functools import partial
 import os
 import time
 
 import numpy as np
+
+_CONF_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "conf")
+
+
+def shipped_config(data: str, num_samples: int, **overrides):
+    """Build the PanopticConfig the PRODUCT CLIs would run - the bench
+    measures the shipped flagship yaml (Setting IV + its clustering/scorer
+    budgets), not a bench-only configuration. Returns (cfg, composed_yaml).
+    """
+    from panopticsegforlargescalepointcloud_tpu.config import (
+        load_config,
+        panoptic_config_from_yaml,
+    )
+
+    ycfg = load_config(
+        _CONF_DIR,
+        [
+            f"data=panoptic/{data}",
+            "models=panoptic/area4_ablation_3heads_5",
+            "model_name=PointGroup-PAPER",
+        ],
+    )
+    pcfg, _, _ = panoptic_config_from_yaml(ycfg)
+    return dataclasses.replace(pcfg, num_samples=num_samples, **overrides), ycfg
 
 
 def build_inputs(num_tiles=4, capacity=131072, seed=0):
@@ -45,6 +70,123 @@ def build_inputs(num_tiles=4, capacity=131072, seed=0):
         tiles.append(t)
     vb = collate_tiles(tiles, capacity=capacity, num_tiles=num_tiles)
     return vb
+
+
+def conv_schedule(cfg):
+    """Enumerate every sparse conv of the backbone as (map_kind, level, cin,
+    cout) plus pointwise dense layers as (level, cin, cout), mirroring
+    models/unet.py + models/modules.py exactly (ResNetDown keeps cin through
+    a strided conv; ResBlocks carry the widening + 1x1 shortcut)."""
+    from panopticsegforlargescalepointcloud_tpu.models.plans import (
+        paper_backbone_plan,
+        tiny_backbone_plan,
+    )
+
+    plan = (paper_backbone_plan if cfg.backbone == "paper"
+            else tiny_backbone_plan)(cfg.feat_dim, cfg.in_feat)
+    convs, dense = [], []
+    nb = plan["num_blocks"]
+    level = 0
+
+    def resblocks(level, cin, cout):
+        for b in range(nb):
+            inc = cin if b == 0 else cout
+            convs.append(("same", level, inc, cout))
+            convs.append(("same", level, cout, cout))
+            if inc != cout:
+                dense.append((level, inc, cout))
+
+    for (cin, cout), s in zip(plan["down_channels"], plan["down_strides"]):
+        if s == 1:
+            convs.append(("same", level, cin, cout))
+            resblocks(level, cout, cout)
+        else:
+            convs.append(("down", level, cin, cin))
+            level += 1
+            resblocks(level, cin, cout)
+    for (cin, cout), s in zip(plan["up_channels"], plan["up_strides"]):
+        if s == 1:
+            convs.append(("same", level, cin, cout))
+            resblocks(level, cout, cout)
+        else:
+            convs.append(("up", level - 1, cin, cin))
+            level -= 1
+            resblocks(level, cin, cout)
+    # heads (models/pointgroup3heads.py): 2-layer MLPs on level-0 rows
+    f = cfg.in_feat
+    dense += [(0, f, f), (0, f, cfg.num_classes)]  # semantic
+    dense += [(0, f, f), (0, f, 3)]  # offset
+    dense += [(0, f, f), (0, f, cfg.embed_dim)]  # embed
+    return convs, dense
+
+
+# v5e-1 peaks for the utilization anchor (override for other chips):
+# 197 TFLOP/s bf16 MXU, 819 GB/s HBM.
+_PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
+_PEAK_GBPS = float(os.environ.get("BENCH_PEAK_GBPS", "819"))
+
+
+def hw_utilization(cfg, hier, dt_s):
+    """Hardware-anchored accounting for the measured forward (VERDICT r3
+    weak #5: 'is 417k voxels/s good?' needs an absolute denominator).
+
+    FLOPs are exact: 2 * nnz * cin * cout per conv, with nnz = the real
+    kernel-map pair count pulled from the built hierarchy. Bytes use two
+    models: ``min`` reads each live input row once and writes each output
+    row once (perfect reuse - the speed-of-light floor) and ``gather`` pays
+    one cin-row read per kernel-map pair (the row-gather path's actual
+    traffic; the windowed kernel sits between the two).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def _idx(m):
+        return m.idx if hasattr(m, "idx") else m
+
+    @jax.jit
+    def counts():
+        same = [jnp.sum(_idx(b) >= 0) for b in hier.bricks]
+        down = [jnp.sum(_idx(m) >= 0) for m in hier.down_maps]
+        up = [jnp.sum(_idx(m) >= 0) for m in hier.up_maps]
+        rows = [jnp.sum(g.mask) for g in hier.grids]
+        return (jnp.stack(same), jnp.stack(down), jnp.stack(up),
+                jnp.stack(rows))
+
+    same_n, down_n, up_n, rows_n = (np.asarray(c) for c in counts())
+    convs, dense = conv_schedule(cfg)
+    nnz_of = {"same": same_n, "down": down_n, "up": up_n}
+    out_rows = {
+        "same": lambda l: rows_n[l],
+        "down": lambda l: rows_n[l + 1],
+        "up": lambda l: rows_n[l],
+    }
+    bin_, bout = 2, 4  # bf16 compute dtype in, fp32 accumulate out
+    flops = min_bytes = gather_bytes = 0.0
+    for kind, l, cin, cout in convs:
+        nnz = float(nnz_of[kind][l])
+        ro = float(out_rows[kind](l))
+        ri = float(rows_n[l + 1] if kind == "up" else rows_n[l])
+        flops += 2.0 * nnz * cin * cout
+        min_bytes += ri * cin * bin_ + ro * cout * bout
+        gather_bytes += nnz * cin * bin_ + ro * cout * bout
+    for l, cin, cout in dense:
+        r = float(rows_n[l])
+        flops += 2.0 * r * cin * cout
+        b = r * (cin * bin_ + cout * bout)
+        min_bytes += b
+        gather_bytes += b
+    return {
+        "conv_tflops_total": round(flops / 1e12, 4),
+        "achieved_tflops": round(flops / dt_s / 1e12, 2),
+        "mxu_util_pct": round(100.0 * flops / dt_s / (_PEAK_TFLOPS * 1e12), 2),
+        "hbm_gbps_min_model": round(min_bytes / dt_s / 1e9, 1),
+        "hbm_gbps_gather_model": round(gather_bytes / dt_s / 1e9, 1),
+        "hbm_util_pct_gather_model": round(
+            100.0 * gather_bytes / dt_s / (_PEAK_GBPS * 1e9), 2
+        ),
+        "peak_tflops": _PEAK_TFLOPS,
+        "peak_gbps": _PEAK_GBPS,
+    }
 
 
 def measure_phases(cfg, model, state, arrays, valid_voxels, iters):
@@ -210,7 +352,6 @@ def measure_e2e(num_devices: int = 1):
     )
     from panopticsegforlargescalepointcloud_tpu.data.ply import write_ply
     from panopticsegforlargescalepointcloud_tpu.models.pointgroup3heads import (
-        PanopticConfig,
         PointGroup3HeadsNet,
     )
     from panopticsegforlargescalepointcloud_tpu.train.evaluator import (
@@ -255,18 +396,13 @@ def measure_e2e(num_devices: int = 1):
         ds = PanopticFileDataset(
             TREEINS_SPEC, [ply], grid_size=0.2, radius=8.0, keep_raw=True,
         )
-        cfg = PanopticConfig(
-            num_classes=2, stuff_classes=(0,), backbone="paper", feat_dim=4,
-            in_feat=16, num_samples=1, max_instances=64,
-            # measured budgets (PLAN.md r3): things are <=40% of this forest
-            # (20k ground + 12k tree rows/tile; untrained init can predict
-            # more), scorer occupancy <=25% of membership rows; overflow
-            # counters guard both caps
-            rg_point_cap=20480, scorer_capacity_mult=0.5,
-        )
+        # the SHIPPED treeins flagship config (clustering/scorer budgets come
+        # from the yaml; fractional rg cap resolves against the eval tile)
+        cfg, ycfg = shipped_config("treeins_rad8", num_samples=1)
+        capacity = int(ycfg["data"].get("eval_voxel_capacity", 32768))
         model = PointGroup3HeadsNet(cfg)
         tile, _ = ds.test_tiles(0)[0]
-        vb = collate_tiles([tile], capacity=32768, num_tiles=1)
+        vb = collate_tiles([tile], capacity=capacity, num_tiles=1)
         db, hier = prepare_example(batch_arrays(vb), cfg.num_down)
         state = init_state(
             cfg, model, optax.adam(1e-3), db, hier, jax.random.PRNGKey(0)
@@ -281,7 +417,7 @@ def measure_e2e(num_devices: int = 1):
         group = int(os.environ.get("BENCH_E2E_GROUP", "1"))
         ev = FullSceneEvaluator(
             cfg, model, state.params, state.batch_stats, ds,
-            capacity=32768, mesh=mesh,
+            capacity=capacity, mesh=mesh,
             tiles_per_dispatch=group if mesh is None else 1,
         )
         out1 = os.path.join(tmp, "warm")
@@ -346,7 +482,6 @@ def main():
         return
 
     from panopticsegforlargescalepointcloud_tpu.models.pointgroup3heads import (
-        PanopticConfig,
         PointGroup3HeadsNet,
     )
     from panopticsegforlargescalepointcloud_tpu.ops.hierarchy import build_hierarchy
@@ -359,22 +494,25 @@ def main():
 
     dev = jax.devices()[0]
     num_tiles = int(os.environ.get("BENCH_TILES", "4"))
-    capacity = int(os.environ.get("BENCH_CAPACITY", "131072"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
 
-    cfg = PanopticConfig(
-        num_classes=9,
-        stuff_classes=(0, 7, 8),
-        backbone="paper",
-        feat_dim=4,
-        in_feat=16,
-        num_samples=num_tiles,
-        max_instances=64,
-        cluster_radius=0.18,
-        gemm_mode=os.environ.get("BENCH_GEMM", "loop"),
-        # measured clustering/scorer budgets (PLAN.md r3; overflow-guarded)
-        rg_point_cap=int(os.environ.get("BENCH_RG_CAP", "20480")),
-        scorer_capacity_mult=float(os.environ.get("BENCH_SCORER_MULT", "0.5")),
+    # the SHIPPED NPM3D flagship config (Setting IV yaml + npm3d data yaml:
+    # 9 classes, 0.18 m cluster radius, yaml clustering/scorer budgets);
+    # BENCH_* env knobs remain available for A/B experiments only
+    over = {}
+    if os.environ.get("BENCH_GEMM"):
+        over["gemm_mode"] = os.environ["BENCH_GEMM"]
+    if os.environ.get("BENCH_RG_CAP"):
+        over["rg_point_cap"] = float(os.environ["BENCH_RG_CAP"])
+    if os.environ.get("BENCH_SCORER_MULT"):
+        over["scorer_capacity_mult"] = float(os.environ["BENCH_SCORER_MULT"])
+    cfg, ycfg = shipped_config(
+        "npm3d-sparseconv_grid_012_R_16_cylinder_area1",
+        num_samples=num_tiles, **over,
+    )
+    capacity = int(
+        os.environ.get("BENCH_CAPACITY")
+        or ycfg["data"].get("voxel_capacity", 131072)
     )
     model = PointGroup3HeadsNet(cfg)
     vb = build_inputs(num_tiles=num_tiles, capacity=capacity)
@@ -430,6 +568,17 @@ def main():
 
     pps = valid_voxels / dt
 
+    # absolute hardware anchor (exact conv FLOPs from the real kernel maps)
+    hw = hw_utilization(cfg, hier, dt)
+    import sys
+
+    print("hw utilization:", json.dumps(hw), file=sys.stderr)
+    with open(os.path.join(os.path.dirname(__file__), "bench_hw.json"), "w") as f:
+        json.dump(
+            {"valid_voxels": valid_voxels, "ms_per_forward": dt * 1e3, **hw},
+            f, indent=1,
+        )
+
     if os.environ.get("BENCH_PHASES"):
         phases = measure_phases(cfg, model, state, arrays, valid_voxels, iters)
         full = dt * 1e3  # canon + hier + backbone + heads
@@ -473,6 +622,11 @@ def main():
                 "value": round(pps, 1),
                 "unit": "voxels/sec/chip",
                 "vs_baseline": round(pps / base, 4),
+                # absolute anchors (bench_hw.json has the full model):
+                # exact conv FLOPs/s over the v5e bf16 MXU peak, and the
+                # row-gather traffic model over the 819 GB/s HBM peak
+                "mxu_util_pct": hw["mxu_util_pct"],
+                "hbm_gbps_gather_model": hw["hbm_gbps_gather_model"],
             }
         )
     )

@@ -89,7 +89,13 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
     evaluator = FullSceneEvaluator(
         pcfg, model, params, stats, dataset,
-        capacity=int(run_cfg["data"].get("voxel_capacity", 65536)),
+        # per-TILE row budget (training's voxel_capacity covers a whole
+        # batch; a tile never needs more rows than that batch - see eval.py)
+        capacity=min(
+            int(run_cfg["data"].get("eval_voxel_capacity")
+                or run_cfg["data"].get("voxel_capacity", 65536)),
+            int(run_cfg["data"].get("voxel_capacity", 65536)),
+        ),
     )
     for fi in range(len(dataset.files)):
         raw = dataset.raw_clouds[fi]

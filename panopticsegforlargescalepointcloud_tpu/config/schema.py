@@ -149,7 +149,9 @@ def panoptic_config_from_yaml(
         cal_iou_based_on_mask_start_epoch=int(
             m.get("cal_iou_based_on_mask_start_epoch", 200)
         ),
-        rg_point_cap=int(m.get("rg_point_cap", 0)),
+        # fractions in (0,1) = share of the forward's padded rows (resolved
+        # per trace by PanopticConfig.resolved_point_cap); >= 1 = absolute
+        rg_point_cap=float(m.get("rg_point_cap", 0)),
         rg_dense=str(m.get("rg_dense", "auto")),
         scorer_capacity_mult=float(m.get("scorer_capacity_mult", 1.0)),
         ms_point_cap=int(m.get("ms_point_cap", 16384)),
@@ -179,6 +181,10 @@ def panoptic_config_from_yaml(
         kp_num_kernel_points=int(m.get("kp_num_kernel_points", 15)),
         kp_sigma=float(m.get("kp_sigma", 1.0)),
         kp_max_neighbors=int(m.get("kp_max_neighbors", 16)),
+        kp_deformable=bool(m.get("kp_deformable", False)),
+        kp_modulated=bool(m.get("kp_modulated", False)),
+        kp_loss_mode=str(m.get("kp_loss_mode", "fitting")),
+        lambda_internal_losses=float(m.get("lambda_internal_losses", 0.1)),
         pn2_base_channels=int(m.get("pn2_base_channels", 32)),
         pn2_radius_scale=float(m.get("pn2_radius_scale", 2.5)),
         pn2_nsample=int(m.get("pn2_nsample", 16)),

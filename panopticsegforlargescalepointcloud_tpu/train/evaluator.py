@@ -51,10 +51,10 @@ class FullSceneEvaluator:
         across tiles. Per-tile results match g=1 exactly while the proposal
         budget does not bind: clustering is per-sample by construction
         (folded batch ids in region grow, per-sample mean-shift packs), the
-        shared region-grow budget is scaled by g, and proposals are split by
-        ``prop_batch`` before host NMS/merge. Embed-family random feature
-        subsets are the one documented divergence (one subset draw per
-        dispatch, not per tile). Mutually exclusive with ``mesh``."""
+        shared region-grow budget is scaled by g, proposals are split by
+        ``prop_batch`` before host NMS/merge, and embed-family feature
+        subsets draw from per-tile counters (each tile uses the same counter
+        it would get at g=1). Mutually exclusive with ``mesh``."""
         import dataclasses
 
         assert pcfg.num_samples == 1, "full-scene eval runs tiles one by one"
@@ -84,8 +84,12 @@ class FullSceneEvaluator:
                     pcfg,
                     num_samples=g,
                     max_props_rg=pcfg.max_props_rg * g,
+                    # fractional caps scale automatically with the g-times
+                    # larger padded row count (resolved_point_cap); absolute
+                    # row budgets must be multiplied explicitly
                     rg_point_cap=(pcfg.rg_point_cap * g
-                                  if pcfg.rg_point_cap else 0),
+                                  if pcfg.rg_point_cap >= 1 else
+                                  pcfg.rg_point_cap),
                 )
             self._fwd = make_eval_forward(fcfg, model, with_clustering=True)
 
@@ -142,12 +146,14 @@ class FullSceneEvaluator:
                             [t for t, _ in padded],
                             capacity=self.capacity * g, num_tiles=g,
                         )
-                        # embed family: distinct per-(vote, dispatch) counter
-                        # so random feature subsets resample per forward like
-                        # the reference's torch.multinomial (step.py contract)
+                        # embed family: per-(vote, TILE) counters - each tile
+                        # of the group draws the exact subsets it would get
+                        # from the g=1 sequential path (padded repeat samples
+                        # draw past-the-end counters; never accumulated)
                         db, out = self._fwd(
                             self.params, self.batch_stats, batch_arrays(vb),
-                            subset_seed=vote * len(tiles) + start,
+                            subset_seed=vote * len(tiles) + start
+                            + np.arange(g, dtype=np.int32),
                         )
                         if pending is not None:
                             self._accumulate_device(acc, *pending, th, remap)

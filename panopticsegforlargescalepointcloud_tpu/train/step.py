@@ -87,7 +87,11 @@ def panoptic_forward(
     the epoch-conditional mask features (see PanopticConfig *_start_epoch).
     ``subset_seed`` (traced int) resamples the embed family's random feature
     subsets per forward like the reference's torch.multinomial."""
-    mutable = ["batch_stats"] if train else False
+    # KPConv-deform internal regularizers ride a sown collection; collect it
+    # only when the backbone actually produces one (training loss term)
+    want_internal = train and cfg.backbone == "kpconv" and cfg.kp_deformable
+    mutable = (["batch_stats", "kp_losses"] if want_internal
+               else ["batch_stats"] if train else False)
     res = model.apply(
         variables,
         db.feats,
@@ -98,9 +102,27 @@ def panoptic_forward(
         method=PointGroup3HeadsNet.backbone_heads,
         mutable=mutable,
     )
+    internal_losses = None
     if train:
         (x, sem, off, emb), upd = res
         variables = {**variables, "batch_stats": upd["batch_stats"]}
+        if want_internal:
+            # sum each named regularizer over the sown layer instances
+            # (reference get_named_internal_losses + sum aggregation,
+            # base_model.py:363-402)
+            sums: Dict[str, Any] = {}
+
+            def walk(node):
+                for k, v in node.items():
+                    if isinstance(v, dict):
+                        walk(v)
+                    else:  # sown tuple of scalars
+                        vals = v if isinstance(v, (tuple, list)) else (v,)
+                        for s in vals:
+                            sums[k] = sums.get(k, 0.0) + s
+
+            walk(upd.get("kp_losses", {}))
+            internal_losses = sums or None
     else:
         x, sem, off, emb = res
 
@@ -178,6 +200,7 @@ def panoptic_forward(
         scorer_overflow=scorer_overflow,
         cluster_overflow=cluster_overflow,
         rg_graph_trunc=rg_graph_trunc,
+        internal_losses=internal_losses,
     )
     return out, variables.get("batch_stats", {})
 

@@ -20,17 +20,11 @@ import optax
 sys.path.insert(0, ".")
 
 ITERS = 6
-# A/B knobs for the round-3 clustering/scorer budgets (PLAN.md):
-#   PST_RG_CAP      thing-row compaction budget for region growing (0 = off)
-#   PST_SCORER_MULT scorer-grid rows per membership row
-RG_CAP = int(os.environ.get("PST_RG_CAP", "0"))
-SCORER_MULT = float(os.environ.get("PST_SCORER_MULT", "1.0"))
 
 
 def main():
-    from bench import build_inputs
+    from bench import build_inputs, shipped_config
     from panopticsegforlargescalepointcloud_tpu.models.pointgroup3heads import (
-        PanopticConfig,
         PointGroup3HeadsNet,
     )
     from panopticsegforlargescalepointcloud_tpu.train.step import (
@@ -41,13 +35,21 @@ def main():
     )
 
     num_tiles = 4
-    capacity = 131072
-    cfg = PanopticConfig(
-        num_classes=9, stuff_classes=(0, 7, 8), backbone="paper", feat_dim=4,
-        in_feat=16, num_samples=num_tiles, max_instances=64, cluster_radius=0.18,
-        rg_point_cap=RG_CAP, scorer_capacity_mult=SCORER_MULT,
+    # the SHIPPED NPM3D flagship config; PST_RG_CAP / PST_SCORER_MULT remain
+    # as A/B knobs over the yaml clustering/scorer budgets
+    over = {}
+    if os.environ.get("PST_RG_CAP"):
+        over["rg_point_cap"] = float(os.environ["PST_RG_CAP"])
+    if os.environ.get("PST_SCORER_MULT"):
+        over["scorer_capacity_mult"] = float(os.environ["PST_SCORER_MULT"])
+    cfg, ycfg = shipped_config(
+        "npm3d-sparseconv_grid_012_R_16_cylinder_area1",
+        num_samples=num_tiles, **over,
     )
-    print(f"rg_point_cap={RG_CAP} scorer_capacity_mult={SCORER_MULT}")
+    capacity = int(ycfg["data"].get("voxel_capacity", 131072))
+    print(f"rg_point_cap={cfg.rg_point_cap} "
+          f"(resolved {cfg.resolved_point_cap(capacity)} @ {capacity}) "
+          f"scorer_capacity_mult={cfg.scorer_capacity_mult}")
     model = PointGroup3HeadsNet(cfg)
     vb = build_inputs(num_tiles=num_tiles, capacity=capacity)
     arrays = tuple(jnp.asarray(a) for a in batch_arrays(vb))

@@ -63,8 +63,11 @@ def main():
     cfg = PanopticConfig(
         num_classes=9, stuff_classes=(0, 7, 8), backbone="paper", feat_dim=4,
         in_feat=16, num_samples=1, max_instances=64, cluster_radius=0.18,
-        rg_point_cap=int(os.environ.get("PST_RG_CAP", "0")),
-        scorer_capacity_mult=float(os.environ.get("PST_SCORER_MULT", "1.0")),
+        # shipped product budgets by default (conf model yamls); override
+        # for A/B (PST_RG_CAP=0 = uncompacted, PST_RG_DENSE=off = edge path)
+        rg_point_cap=float(os.environ.get("PST_RG_CAP", "0.375")),
+        scorer_capacity_mult=float(os.environ.get("PST_SCORER_MULT", "0.375")),
+        rg_dense=os.environ.get("PST_RG_DENSE", "auto"),
     )
     model = PointGroup3HeadsNet(cfg)
     vb = build_inputs(num_tiles=1, capacity=cap)

@@ -144,6 +144,155 @@ class TestKPConvLayer:
         np.testing.assert_allclose(out, expected, rtol=2e-4, atol=2e-4)
 
 
+class TestKPConvDeformableLayer:
+    def _setup(self, rng, modulated, loss_mode="fitting"):
+        from panopticsegforlargescalepointcloud_tpu.models.point_backbones import (
+            KPConvDeformableLayer,
+        )
+
+        q, s, m, cin, cout, p = 7, 11, 4, 3, 5, 15
+        extent = 0.8
+        q_pos = rng.normal(size=(q, 3)).astype(np.float32)
+        s_pos = rng.normal(size=(s, 3)).astype(np.float32)
+        feats = rng.normal(size=(s, cin)).astype(np.float32)
+        nbr = rng.integers(-1, s, size=(q, m)).astype(np.int32)
+        qm = np.ones(q, bool)
+        layer = KPConvDeformableLayer(
+            features=cout, extent=extent, modulated=modulated,
+            loss_mode=loss_mode,
+        )
+        args = (jnp.asarray(q_pos), jnp.asarray(s_pos), jnp.asarray(feats),
+                jnp.asarray(nbr), jnp.asarray(qm))
+        vars_ = layer.init(jax.random.PRNGKey(0), *args)
+        # drop the init-run's sown values: apply must start a fresh collection
+        out, sown = layer.apply(
+            {"params": vars_["params"]}, *args, mutable=["kp_losses"]
+        )
+        return (layer, vars_, out, sown, q_pos, s_pos, feats, nbr, extent,
+                cout, p)
+
+    @pytest.mark.parametrize("modulated", [False, True])
+    def test_matches_numpy_oracle(self, rng, modulated):
+        """Deformable conv vs a numpy transcription of the reference
+        KPConv_deform_ops (convolution_ops.py:110-194): rigid pass predicts
+        offsets (+ 2*sigmoid modulations), main pass correlates against the
+        deformed kernel points."""
+        (layer, vars_, out, _, q_pos, s_pos, feats, nbr, extent, cout, p
+         ) = self._setup(rng, modulated)
+        params = vars_["params"]
+        kp = kernel_dispositions(p) * (1.5 * extent)
+        w_off = np.asarray(params["offset_kernel"])
+        b_off = np.asarray(params["offset_bias"])
+        w = np.asarray(params["kernel"])
+        q = q_pos.shape[0]
+
+        def rigid(i, weights, dim):
+            acc = np.zeros(dim, np.float64)
+            for j in nbr[i]:
+                if j < 0:
+                    continue
+                rel = s_pos[j] - q_pos[i]
+                d = np.linalg.norm(rel[None] - kp, axis=1)
+                infl = np.maximum(0.0, 1.0 - d / extent)
+                for pk in range(p):
+                    acc += infl[pk] * feats[j] @ weights[pk]
+            return acc
+
+        expected = np.zeros((q, cout), np.float64)
+        for i in range(q):
+            off_feat = rigid(i, w_off, w_off.shape[2]) + b_off
+            offsets = off_feat[: 3 * p].reshape(p, 3) * extent
+            modul = (2.0 / (1.0 + np.exp(-off_feat[3 * p:]))
+                     if modulated else np.ones(p))
+            deformed = kp + offsets
+            for j in nbr[i]:
+                if j < 0:
+                    continue
+                rel = s_pos[j] - q_pos[i]
+                d = np.linalg.norm(rel[None] - deformed, axis=1)
+                infl = np.maximum(0.0, 1.0 - d / extent) * modul
+                for pk in range(p):
+                    expected[i] += infl[pk] * feats[j] @ w[pk]
+        np.testing.assert_allclose(np.asarray(out), expected, rtol=2e-3, atol=2e-3)
+
+    def test_fitting_and_repulsion_losses(self, rng):
+        """fitting = masked mean over (q, p) of min-neighbor sq distance /
+        kernel_radius^2 (losses.py:4-14); repulsion penalizes deformed points
+        closer than 1.5 extents (losses.py:17-33, normalization fixed)."""
+        (layer, vars_, out, sown, q_pos, s_pos, feats, nbr, extent, cout, p
+         ) = self._setup(rng, False)
+        kl = jax.tree_util.tree_leaves(sown["kp_losses"])
+        assert len(kl) == 2
+        losses = sown["kp_losses"]
+        fit = float(losses["fitting"][0])
+        rep = float(losses["repulsion"][0])
+        assert np.isfinite(fit) and fit >= 0
+        assert np.isfinite(rep) and rep >= 0
+        # fitting must reflect distances to the DEFORMED points: recompute
+        # from the oracle pieces
+        params = vars_["params"]
+        kp = kernel_dispositions(p) * (1.5 * extent)
+        w_off = np.asarray(params["offset_kernel"])
+        b_off = np.asarray(params["offset_bias"])
+        q = q_pos.shape[0]
+        tot, cnt = 0.0, 0
+        for i in range(q):
+            acc = np.zeros(w_off.shape[2], np.float64)
+            for j in nbr[i]:
+                if j < 0:
+                    continue
+                rel = s_pos[j] - q_pos[i]
+                d = np.linalg.norm(rel[None] - kp, axis=1)
+                infl = np.maximum(0.0, 1.0 - d / extent)
+                for pk in range(p):
+                    acc += infl[pk] * feats[j] @ w_off[pk]
+            off = (acc + b_off).reshape(p, 3) * extent
+            deformed = kp + off
+            valid = nbr[i] >= 0
+            if not valid.any():
+                continue
+            rels = s_pos[nbr[i][valid]] - q_pos[i]
+            sq = np.sum((rels[:, None, :] - deformed[None]) ** 2, axis=-1)
+            tot += np.sum(sq.min(axis=0))
+            cnt += p
+        expect_fit = tot / (cnt * (1.5 * extent) ** 2)
+        np.testing.assert_allclose(fit, expect_fit, rtol=2e-3)
+
+    def test_permissive_loss_mode(self, rng):
+        (_, _, _, sown, *_rest) = self._setup(rng, False, loss_mode="permissive")
+        losses = sown["kp_losses"]
+        assert set(losses) == {"permissive"}
+        assert np.isfinite(float(losses["permissive"][0]))
+
+    def test_offsets_receive_gradient(self, rng):
+        """The offset-predicting weights must sit on the gradient path of
+        both the output and the regularizers."""
+        from panopticsegforlargescalepointcloud_tpu.models.point_backbones import (
+            KPConvDeformableLayer,
+        )
+
+        q, s, m, cin = 16, 32, 6, 3
+        q_pos = jnp.asarray(rng.normal(size=(q, 3)), jnp.float32)
+        s_pos = jnp.asarray(rng.normal(size=(s, 3)), jnp.float32)
+        feats = jnp.asarray(rng.normal(size=(s, cin)), jnp.float32)
+        nbr = jnp.asarray(rng.integers(0, s, size=(q, m)), jnp.int32)
+        qm = jnp.ones(q, bool)
+        layer = KPConvDeformableLayer(features=4, extent=0.8)
+        vars_ = layer.init(jax.random.PRNGKey(1), q_pos, s_pos, feats, nbr, qm)
+
+        def loss(params):
+            out, sown = layer.apply(
+                {"params": params}, q_pos, s_pos, feats, nbr, qm,
+                mutable=["kp_losses"],
+            )
+            reg = sum(v[0] for v in sown["kp_losses"].values())
+            return jnp.sum(out**2) + reg
+
+        g = jax.grad(loss)(vars_["params"])
+        assert float(jnp.abs(g["offset_kernel"]).max()) > 0
+        assert float(jnp.abs(g["offset_bias"]).max()) > 0
+
+
 class TestBackboneForward:
     @pytest.mark.parametrize("backbone", ["kpconv", "pointnet2"])
     def test_shapes_padding_and_translation_invariance(self, rng, backbone):
@@ -212,3 +361,34 @@ class TestPointBackboneTraining:
         l0 = float(metrics["loss"])
         state, metrics2 = step(state, arrays)
         assert np.isfinite(float(metrics2["loss"]))
+
+    def test_deformable_train_step_collects_internal_losses(self, rng):
+        """kp_deformable=True end to end: the sown fitting/repulsion
+        regularizers reach the metrics, are summed across the deformable
+        blocks, and are lambda-weighted into the total (reference
+        collect_internal_losses, base_model.py:389-402)."""
+        cfg = point_cfg("kpconv", kp_deformable=True,
+                        lambda_internal_losses=0.1)
+        arrays, db, hier = make_db(rng, cfg)
+        model = PointGroup3HeadsNet(cfg)
+        tx = optax.adam(1e-3)
+        state = init_state(cfg, model, tx, db, hier, jax.random.PRNGKey(0))
+        step = make_train_step(cfg, model, tx, with_clustering=False)
+        state, metrics = step(state, arrays)
+        for k in ("fitting_loss", "repulsion_loss"):
+            assert k in metrics, metrics.keys()
+            assert np.isfinite(float(metrics[k])), k
+        assert float(metrics["fitting_loss"]) > 0
+        # the regularizers participate in the total
+        base = sum(
+            w * float(metrics[k]) for k, w in [
+                ("semantic_loss", cfg.w_semantic),
+                ("offset_norm_loss", cfg.w_offset_norm),
+                ("offset_dir_loss", cfg.w_offset_dir),
+                ("ins_loss", cfg.w_embed),
+            ]
+        )
+        reg = cfg.lambda_internal_losses * (
+            float(metrics["fitting_loss"]) + float(metrics["repulsion_loss"])
+        )
+        np.testing.assert_allclose(float(metrics["loss"]), base + reg, rtol=1e-4)
