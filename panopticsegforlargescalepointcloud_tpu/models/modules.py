@@ -16,10 +16,19 @@ Init mirrors the reference: kaiming-normal fan_out for conv kernels
 
 from __future__ import annotations
 
+import os
 from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+
+# Measurement A/B only (repo convention: PST_* env knobs are bench overrides,
+# never the product path): PST_CONV_OUT_BF16 emits conv outputs in bf16
+# instead of f32 to halve inter-conv HBM traffic (BN still computes in f32
+# internally); PST_SKIP_BN drops the BN between convs entirely (numerics
+# change - timing attribution only).
+_AB_OUT_BF16 = bool(os.environ.get("PST_CONV_OUT_BF16"))
+_AB_SKIP_BN = bool(os.environ.get("PST_SKIP_BN"))
 
 from ..ops.brick import BrickLevel, brick_conv
 from ..ops.conv import sparse_conv
@@ -61,9 +70,10 @@ class SparseConv(nn.Module):
             "kernel", conv_init, (self.kernel_volume, cin, self.features), jnp.float32
         )
         cdt = jnp.dtype(self.compute_dtype)
+        odt = jnp.bfloat16 if (_AB_OUT_BF16 and not train) else jnp.float32
         if isinstance(ctx, BrickLevel):
             out = brick_conv(
-                x, ctx, w, compute_dtype=cdt, out_dtype=jnp.float32
+                x, ctx, w, compute_dtype=cdt, out_dtype=odt
             )
         elif isinstance(ctx, WindowedMap):
             t_ok = ctx_t is None or isinstance(ctx_t, WindowedMap)
@@ -73,19 +83,19 @@ class SparseConv(nn.Module):
             if win_ok:
                 out = windowed_conv(
                     x.astype(cdt), ctx, w.astype(cdt), ctx_t,
-                    out_dtype=jnp.float32,
+                    out_dtype=odt,
                 )
             else:
                 idx_t = ctx_t.idx if isinstance(ctx_t, WindowedMap) else ctx_t
                 out = sparse_conv(
                     x.astype(cdt), ctx.idx, w.astype(cdt), mode=self.gemm_mode,
-                    out_dtype=jnp.float32, nbr_idx_t=idx_t,
+                    out_dtype=odt, nbr_idx_t=idx_t,
                 )
         else:
             idx_t = ctx_t.idx if isinstance(ctx_t, WindowedMap) else ctx_t
             out = sparse_conv(
                 x.astype(cdt), ctx, w.astype(cdt), mode=self.gemm_mode,
-                out_dtype=jnp.float32, nbr_idx_t=idx_t,
+                out_dtype=odt, nbr_idx_t=idx_t,
             )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
@@ -105,7 +115,8 @@ class ConvBNReLU(nn.Module):
             self.features, self.kernel_volume, gemm_mode=self.gemm_mode,
             compute_dtype=self.compute_dtype,
         )(x, ctx, ctx_t, train)
-        h = MaskedBatchNorm()(h, mask, train, momentum)
+        if not _AB_SKIP_BN:
+            h = MaskedBatchNorm()(h, mask, train, momentum)
         return nn.relu(h)
 
 

@@ -364,39 +364,52 @@ def _run_dw(feats, g, wmap: WindowedMap):
     return dw_full[:, : p * c].reshape(nk, p, c, cout).sum(axis=1)
 
 
-def _corr_apply(feats, weights, wmap: WindowedMap, n_out: int):
+def _corr_apply(feats, weights, wmap: WindowedMap, out):
     """Exact XLA repair of out-of-window entries: out[i] += f[idx[i,k]] @ W_k
-    over the packed correction list (tiny; scatter/gather on corr_cap rows)."""
+    over the packed correction list, scatter-added INTO the conv output.
+
+    Cost is O(corr_cap), not O(N): the previous formulation scattered into a
+    dense ``[n_out, cout]`` zeros array and then added it to the output - two
+    extra full passes over the tile-padded f32 output per conv (67 MB at
+    131k x 16 lanes on v5e), and gathered a ``[cap, C, Cout]`` f32 weight
+    tensor (67 MB at C=128). Here the per-entry contribution comes from one
+    ``[cap, C] @ [C, K*Cout]`` GEMM + a one-hot offset select, and the repair
+    is an in-place scatter-add on at most ``corr_cap`` rows of ``out``."""
+    c = feats.shape[1]
     cout = weights.shape[2]
+    nk = wmap.k
     live = wmap.corr >= 0
     e = jnp.maximum(wmap.corr, 0)
-    nk = wmap.k
     i = e // nk
     kk = e - i * nk
     j = wmap.idx.reshape(-1)[e]  # valid by construction of corr
     f = jnp.take(feats, jnp.where(live, j, 0), axis=0).astype(jnp.float32)
-    wk = jnp.take(weights, kk, axis=0).astype(jnp.float32)  # [cap, C, Cout]
-    contrib = jnp.einsum("ec,ecd->ed", f, wk)
-    contrib = jnp.where(live[:, None], contrib, 0.0)
-    out = jnp.zeros((n_out + 1, cout), jnp.float32)
-    return out.at[jnp.where(live, i, n_out)].add(contrib, mode="drop")[:n_out]
+    wall = weights.astype(jnp.float32).transpose(1, 0, 2).reshape(c, nk * cout)
+    allk = (f @ wall).reshape(-1, nk, cout)  # [cap, K, Cout]
+    oh = (kk[:, None] == jnp.arange(nk, dtype=kk.dtype)[None, :]) & live[:, None]
+    contrib = jnp.sum(allk * oh[:, :, None].astype(allk.dtype), axis=1)
+    tgt = jnp.where(live, i, out.shape[0])  # dead entries -> dropped
+    return out.at[tgt].add(contrib.astype(out.dtype), mode="drop")
 
 
 def _corr_dw(feats, g, wmap: WindowedMap):
-    """dW contribution of the correction entries: dW_k += f[j] (x) g[i]."""
-    c = feats.shape[1]
-    cout = g.shape[1]
+    """dW contribution of the correction entries: dW_k += f[j] (x) g[i].
+
+    Spread f over its offset slot and contract the entry axis in ONE
+    ``[K*C, cap] @ [cap, Cout]`` GEMM - the previous formulation materialized
+    the ``[cap, C, Cout]`` f32 outer-product tensor (67 MB at C=Cout=128)
+    before scatter-adding it into 27 slots."""
     nk = wmap.k
     live = wmap.corr >= 0
     e = jnp.maximum(wmap.corr, 0)
     i = e // nk
-    kk = jnp.where(live, e - i * nk, nk)
+    kk = e - i * nk
     j = wmap.idx.reshape(-1)[e]
     f = jnp.take(feats, jnp.where(live, j, 0), axis=0).astype(jnp.float32)
     gi = jnp.take(g, jnp.where(live, i, 0), axis=0).astype(jnp.float32)
-    outer = jnp.where(live[:, None, None], f[:, :, None] * gi[:, None, :], 0.0)
-    dw = jnp.zeros((nk + 1, c, cout), jnp.float32)
-    return dw.at[kk].add(outer, mode="drop")[:nk]
+    oh = (kk[:, None] == jnp.arange(nk, dtype=kk.dtype)[None, :]) & live[:, None]
+    fk = f[:, None, :] * oh[:, :, None].astype(jnp.float32)  # [cap, K, C]
+    return jnp.einsum("ekc,ed->kcd", fk, gi)
 
 
 def _flip_t(weights: jnp.ndarray) -> jnp.ndarray:
@@ -408,7 +421,7 @@ def _flip_t(weights: jnp.ndarray) -> jnp.ndarray:
 @jax.custom_vjp
 def _winconv_tm(feats, weights, wmap: WindowedMap, wmap_t: WindowedMap):
     out = _run_fwd(feats, weights, wmap)
-    return out + _corr_apply(feats, weights, wmap, wmap.n_out)
+    return _corr_apply(feats, weights, wmap, out)
 
 
 def _winconv_tm_fwd(feats, weights, wmap, wmap_t):
@@ -419,7 +432,7 @@ def _winconv_tm_bwd(res, g):
     feats, weights, wmap, wmap_t = res
     w_t = _flip_t(weights)
     gf = _run_fwd(g, w_t, wmap_t)
-    gf = gf + _corr_apply(g, w_t, wmap_t, wmap_t.n_out)
+    gf = _corr_apply(g, w_t, wmap_t, gf)
     gw = _run_dw(feats, g.astype(jnp.float32), wmap) + _corr_dw(feats, g, wmap)
     return gf.astype(feats.dtype), gw.astype(weights.dtype), None, None
 

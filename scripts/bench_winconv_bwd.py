@@ -100,13 +100,13 @@ def main():
         @jax.jit
         def t_fwd(x):
             f = feats + x[0, 0].astype(jnp.bfloat16) * jnp.bfloat16(1e-30)
-            out = _run_fwd(f, w, wm) + _corr_apply(f, w, wm, wm.n_out)
+            out = _corr_apply(f, w, wm, _run_fwd(f, w, wm))
             return chain(out, x)
 
         @jax.jit
         def t_dx(x):
             g = g32 + x[0, 0] * 1e-30
-            gf = _run_fwd(g, wt, wm) + _corr_apply(g, wt, wm, wm.n_out)
+            gf = _corr_apply(g, wt, wm, _run_fwd(g, wt, wm))
             return chain(gf, x)
 
         @jax.jit
@@ -118,7 +118,7 @@ def main():
         @jax.jit
         def t_dxdw(x):
             g = g32 + x[0, 0] * 1e-30
-            gf = _run_fwd(g, wt, wm) + _corr_apply(g, wt, wm, wm.n_out)
+            gf = _corr_apply(g, wt, wm, _run_fwd(g, wt, wm))
             gw = _run_dw(feats, g, wm) + _corr_dw(feats, g, wm)
             return x + scal(gf) + scal(gw), jnp.sum(gf.reshape(-1)[:4])
 

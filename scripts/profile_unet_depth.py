@@ -81,7 +81,11 @@ def main():
         h = jax.jit(lambda g, nd=n_down: build_hierarchy(g, nd, win_maps=True))(
             db.grid
         )
-        var = net.init(rng, db.feats, h, False, 0.1)
+        # jit the init: eager init on the axon backend compiles one remote
+        # primitive at a time (CLAUDE.md pitfall) and takes tens of minutes
+        var = jax.jit(lambda r, f, hh: net.init(r, f, hh, False, 0.1))(
+            rng, db.feats, h
+        )
 
         @jax.jit
         def step(feats, arrays):
