@@ -61,10 +61,11 @@ class SparseConv(nn.Module):
         itself for submanifold convs, the down/up partner for strided ones) -
         routes the backward pass through gathers instead of scatter-adds.
 
-        ``train`` is STATIC: the windowed kernel's backward is slower than
-        row gathers above C=32 on v5e (scripts/bench_winconv.py), so training
-        convs at wider channels fall back to the row path; eval always takes
-        the windowed kernel when maps carry windows."""
+        The windowed kernel runs at ALL widths in training and eval: the
+        former C>32 training anomaly (22.9 ms composite backward at C=64)
+        was the old correction pass materializing [cap, C, Cout] f32
+        tensors; with the in-place scatter + one-GEMM correction the C=64
+        composite f+b is 0.95 ms (scripts/bench_winconv_bwd.py, v5e)."""
         cin = x.shape[-1]
         w = self.param(
             "kernel", conv_init, (self.kernel_volume, cin, self.features), jnp.float32
@@ -76,10 +77,7 @@ class SparseConv(nn.Module):
                 x, ctx, w, compute_dtype=cdt, out_dtype=odt
             )
         elif isinstance(ctx, WindowedMap):
-            t_ok = ctx_t is None or isinstance(ctx_t, WindowedMap)
-            win_ok = t_ok and (
-                not train or max(cin, self.features) <= 32
-            )
+            win_ok = ctx_t is None or isinstance(ctx_t, WindowedMap)
             if win_ok:
                 out = windowed_conv(
                     x.astype(cdt), ctx, w.astype(cdt), ctx_t,

@@ -103,6 +103,35 @@ class TestWindowedConv:
         assert rel_err(gr[0], gw[0]) < 2e-2  # dfeats
         assert rel_err(gr[1], gw[1]) < 2e-2  # dW
 
+    def test_grads_wide_channels(self, rng):
+        """C=64 (lane pack P=2): the width training runs after the gate
+        removal in models/modules.py - the old correction pass materialized
+        [cap, C, Cout] tensors that made wide-channel backward pathological;
+        this pins fwd + both grads at the width that regressed."""
+        grid = blob_grid(rng, n=1024, occupied=950, scale=(10, 10, 3))
+        n = grid.capacity
+        nbr = jax.jit(lambda g: same_level_map(g, KERNEL_OFFSETS_K3))(grid)
+        feats = jnp.asarray(rng.normal(size=(n, 64)), jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(27, 64, 64)) * 0.1, jnp.float32)
+        wm = jax.jit(lambda: make_windowed(nbr, n, tr=256, w=512, u=1024))()
+        assert int(wm.overflow) == 0
+
+        def loss_ref(f, wt):
+            return jnp.sum(
+                sparse_conv(f, nbr, wt.astype(jnp.bfloat16), mode="fused",
+                            out_dtype=jnp.float32) ** 2
+            )
+
+        def loss_win(f, wt):
+            return jnp.sum(
+                windowed_conv(f, wm, wt.astype(jnp.bfloat16)) ** 2
+            )
+
+        gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(feats, w)
+        gw = jax.jit(jax.grad(loss_win, argnums=(0, 1)))(feats, w)
+        assert rel_err(gr[0], gw[0]) < 2e-2
+        assert rel_err(gr[1], gw[1]) < 2e-2
+
     def test_correction_path_exact(self, rng):
         """Force out-of-window entries with an undersized window: the XLA
         correction list must repair them exactly (fwd + both grads)."""
