@@ -31,8 +31,7 @@ from .winconv import make_windowed, supports_windowing
 from .sparse import (
     KERNEL_OFFSETS_K3,
     SparseGrid,
-    derive_down_map,
-    derive_same_map,
+    derive_level_maps,
     down_map_fine_side,
     downsample,
     same_level_map,
@@ -161,15 +160,13 @@ def build_hierarchy(
     same_maps = [None] * (num_down + 1)
     same_maps[num_down] = same_level_map(grids[num_down], KERNEL_OFFSETS_K3, bits)
     if map_mode == "derived":
+        down_maps = [None] * num_down
+        up_maps = [None] * num_down
         for level in range(num_down - 1, -1, -1):
-            same_maps[level] = derive_same_map(
+            same_maps[level], down_maps[level], up_maps[level] = derive_level_maps(
                 grids[level], parents[level], slot_tables[level],
                 same_maps[level + 1],
             )
-        down_maps = [
-            derive_down_map(same_maps[level + 1], slot_tables[level])
-            for level in range(num_down)
-        ]
     else:
         for level in range(num_down - 1, -1, -1):
             same_maps[level] = same_level_map(grids[level], KERNEL_OFFSETS_K3, bits)
@@ -177,10 +174,10 @@ def build_hierarchy(
             down_map_fine_side(grids[level], grids[level + 1], bits)
             for level in range(num_down)
         ]
-    up_maps = [
-        up_map_from_down(down_maps[level], capacities[level])
-        for level in range(num_down)
-    ]
+        up_maps = [
+            up_map_from_down(down_maps[level], capacities[level])
+            for level in range(num_down)
+        ]
 
     if use_bricks:
         bricks = []

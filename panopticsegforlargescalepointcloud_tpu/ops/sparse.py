@@ -496,3 +496,146 @@ def up_map(
         q_batch.reshape(-1), q_coords.reshape(-1, 3), bits, extra_invalid=invalid.reshape(-1)
     )
     return lookup(coarse.keys, q_keys).reshape(n, k)
+
+
+# ---------------------------------------------------------------------------
+# Fused per-level map derivation. The derive_* functions above are exact but
+# descriptor-bound on TPU: XLA prices a gather/scatter at ~7.5 ns per INDEX
+# regardless of row width (scripts/probe_derive_parts.py: the flat [N*27]
+# element-gather in derive_same_map is 26 of its 29 ms at 131k voxels, while
+# an [N]-index row-gather of 27-wide rows costs 1 ms). So gather WHOLE
+# slot-table rows with FEW indices: the 27 neighbors of a fine voxel live in
+# the 8 bricks of its parity box {parent + d}, d per axis in {0, -1|+1 by
+# parity} - 8 row-gathers of [N] indices replace the [N*27] element gather.
+# Every box brick's row comes straight from pnbr = coarse_map[parent] (true
+# rows - anchoring wide rows at intermediate bricks instead would silently
+# drop neighbors whose anchor brick is empty). The down map's box is the
+# static d in {-1,0}^3 read off coarse_map columns, and the up map needs no
+# gather at all: its values ARE coarse rows already present in pnbr.
+# Descriptor count per level: 9N + 7Nc vs same 27N + down 27Nc + up-scatter
+# 27N before (~60 ms -> ~14 ms at the 131k-voxel L0).
+# ---------------------------------------------------------------------------
+
+
+def _box_same_tables() -> Tuple[np.ndarray, np.ndarray]:
+    """Static tables for the fine 27-map over parity-box brick rows.
+
+    For fine voxel c = 2m + par and offset o: neighbor q = c + o lives in
+    brick m + d with d = (par + o) >> 1, at slot q & 1. d_a is 0 or the
+    parity-side sign, so the box index e_a = |d_a| in {0, 1}. Returns
+    (KOFF8 [8, 8] koff index of d(e; parity), COL64 [8, 27] = e_index * 8 +
+    slot)."""
+    koff8 = np.zeros((8, 8), np.int32)
+    col64 = np.zeros((8, 27), np.int32)
+    for p in range(8):
+        par = ((p >> 2) & 1, (p >> 1) & 1, p & 1)
+        for e in range(8):
+            ebits = ((e >> 2) & 1, (e >> 1) & 1, e & 1)
+            d = [ebits[a] * (1 if par[a] else -1) for a in range(3)]
+            koff8[p, e] = ((d[0] + 1) * 3 + (d[1] + 1)) * 3 + (d[2] + 1)
+        for k, o in enumerate(KERNEL_OFFSETS_K3):
+            q = [par[a] + int(o[a]) for a in range(3)]
+            d = [q[a] >> 1 for a in range(3)]
+            s = [q[a] & 1 for a in range(3)]
+            e = (d[0] != 0) * 4 + (d[1] != 0) * 2 + (d[2] != 0)
+            col64[p, k] = e * 8 + (s[0] * 4 + s[1] * 2 + s[2])
+    return koff8, col64
+
+
+def _box_down_tables() -> Tuple[np.ndarray, np.ndarray]:
+    """Static tables for the down map: coarse c gathers fine 2c + o living in
+    brick c + d, d = o >> 1 in {-1, 0}^3 (box index e = -d), at slot o & 1.
+    Returns (KOFFD [8] koff index of d(e), DCOL64 [27] = e_index * 8 + slot).
+    """
+    koffd = np.zeros((8,), np.int32)
+    dcol = np.zeros((27,), np.int32)
+    for e in range(8):
+        d = [-((e >> (2 - a)) & 1) for a in range(3)]
+        koffd[e] = ((d[0] + 1) * 3 + (d[1] + 1)) * 3 + (d[2] + 1)
+    for k, o in enumerate(KERNEL_OFFSETS_K3):
+        d = [int(o[a]) >> 1 for a in range(3)]
+        s = [int(o[a]) & 1 for a in range(3)]
+        e = (-d[0]) * 4 + (-d[1]) * 2 + (-d[2])
+        dcol[k] = e * 8 + (s[0] * 4 + s[1] * 2 + s[2])
+    return koffd, dcol
+
+
+def _up_tables() -> Tuple[np.ndarray, np.ndarray]:
+    """Static [8, 27] tables deriving the up map straight from pnbr.
+
+    up_map column j holds coarse c with fine f = 2c - o_j, i.e. c =
+    (f + o_j) / 2 - defined iff every axis of f + o_j is even (parity
+    condition), and then c = floor(f/2) + d with d = (par + o_j) / 2 in
+    {0, 1}^3, whose row is pnbr[f, koff(d)]. Returns (KOFF [8, 27] int32
+    index into the 27 coarse offsets, VALID [8, 27] bool)."""
+    koff = np.full((8, 27), 13, np.int32)  # center; masked where invalid
+    valid = np.zeros((8, 27), bool)
+    for p in range(8):
+        par = ((p >> 2) & 1, (p >> 1) & 1, p & 1)
+        for j, o in enumerate(KERNEL_OFFSETS_K3):
+            q = [par[a] + int(o[a]) for a in range(3)]
+            if all(v % 2 == 0 for v in q):
+                d = [v // 2 for v in q]  # in {0, 1}
+                koff[p, j] = ((d[0] + 1) * 3 + (d[1] + 1)) * 3 + (d[2] + 1)
+                valid[p, j] = True
+    return koff, valid
+
+
+_BOX_KOFF8, _BOX_COL64 = _box_same_tables()
+_BOX_KOFFD, _BOX_DCOL64 = _box_down_tables()
+_UP_KOFF, _UP_VALID = _up_tables()
+
+
+def _gather_pad(table: jnp.ndarray, rows: jnp.ndarray) -> jnp.ndarray:
+    """Row gather where rows < 0 hit the table's trailing all--1 pad row."""
+    pad = table.shape[0] - 1
+    return jnp.take(table, jnp.where(rows >= 0, rows, pad), axis=0)
+
+
+def _pad_rows(table: jnp.ndarray) -> jnp.ndarray:
+    return jnp.concatenate(
+        [table, jnp.full((1, table.shape[1]), -1, table.dtype)], axis=0
+    )
+
+
+def derive_level_maps(
+    fine: SparseGrid,
+    parent: jnp.ndarray,
+    slot_table: jnp.ndarray,
+    coarse_map: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(same, down, up) kernel maps of one hierarchy level, fused.
+
+    Exactly equal to (derive_same_map, derive_down_map,
+    up_map_from_down(derive_down_map)) - pinned by tests/test_derived_maps.py
+    - at a fraction of the gather-descriptor count (module comment above).
+    """
+    cmap_p = _pad_rows(coarse_map)  # [Nc+1, 27]
+    st_p = _pad_rows(slot_table)  # [Nc+1, 8]
+
+    pnbr = _gather_pad(cmap_p, parent)  # [N, 27]; dropped parents -> all -1
+    par_bits = (fine.coords & 1).astype(jnp.int32)
+    parity = par_bits[:, 0] * 4 + par_bits[:, 1] * 2 + par_bits[:, 2]
+
+    # box brick rows: [N, 8] via 8 parity-selected static pnbr columns
+    box_rows = _parity_permute(pnbr, parity, _BOX_KOFF8)
+    # slots of the 8 box bricks, one row-gather per box slot -> [N, 64]
+    vals = jnp.concatenate(
+        [_gather_pad(st_p, box_rows[:, e]) for e in range(8)], axis=1
+    )
+    same = _parity_permute(vals, parity, _BOX_COL64)
+    same = jnp.where(fine.mask[:, None], same, -1)
+
+    dvals = jnp.concatenate(
+        [
+            slot_table if int(_BOX_KOFFD[e]) == 13
+            else _gather_pad(st_p, coarse_map[:, _BOX_KOFFD[e]])
+            for e in range(8)
+        ],
+        axis=1,
+    )  # [Nc, 64]
+    down = dvals[:, _BOX_DCOL64]
+
+    up = _parity_permute(pnbr, parity, _UP_KOFF)
+    up = jnp.where(jnp.asarray(_UP_VALID)[parity] & fine.mask[:, None], up, -1)
+    return same, down, up
