@@ -10,6 +10,18 @@ Every module operates on padded [N, C] voxel features plus a valid mask, and
 receives pre-built kernel maps from :mod:`..ops.hierarchy` - so the module
 tree is pure compute, shared topology.
 
+Packed dataflow (``packed_io``): levels whose kernel maps run the Pallas
+windowed conv keep activations LANE-PACKED between convs (ops/winconv.py
+``Packed``: [n/p, p*c] with p = 128//c). A [n, c] f32 tensor at c < 128 pays
+an (8, 128) tile-padding tax in HBM - 8x junk bytes at c=16 - and round 4
+measured the padded write + repack read at ~1.1 ms of the ~1.44 ms per-conv
+chained cost (scripts/probe_trunk_gap.py part 3). With packed_io the conv
+kernel emits packed f32, BN/ReLU/residual-add operate in the packed layout,
+and skip concatenation becomes a split-weight conv pair - the only remaining
+per-conv HBM traffic is the unpadded activation itself. Levels that fall back
+to row-gather maps transparently unpack. Numerics are unchanged (same op
+order; BN batch statistics sum in a different reduction order only).
+
 Init mirrors the reference: kaiming-normal fan_out for conv kernels
 (``applications/minkowski.py:105-111``), BN gamma=1 beta=0.
 """
@@ -32,12 +44,37 @@ _AB_SKIP_BN = bool(os.environ.get("PST_SKIP_BN"))
 
 from ..ops.brick import BrickLevel, brick_conv
 from ..ops.conv import sparse_conv
-from ..ops.winconv import WindowedMap, windowed_conv
+from ..ops.winconv import (
+    Packed,
+    WindowedMap,
+    feat_width,
+    pack_feats,
+    unpack_feats,
+    windowed_conv,
+)
 from .norm import MaskedBatchNorm
 
 # kaiming_normal with fan_out over the (K * Cin, Cout) matrix: variance
 # scaling w/ scale=2 (relu), fan_out, normal.
 conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal")
+
+
+def _unpack_concat(parts) -> jnp.ndarray:
+    arrs = [unpack_feats(p) for p in parts]
+    return arrs[0] if len(arrs) == 1 else jnp.concatenate(arrs, axis=-1)
+
+
+def relu_any(x):
+    return x.replace(data=nn.relu(x.data)) if isinstance(x, Packed) else nn.relu(x)
+
+
+def match_repr(x, ref):
+    """Convert ``x`` to the representation (Packed vs array) of ``ref``."""
+    if isinstance(ref, Packed) and not isinstance(x, Packed):
+        return pack_feats(x)
+    if not isinstance(ref, Packed) and isinstance(x, Packed):
+        return unpack_feats(x)
+    return x
 
 
 class SparseConv(nn.Module):
@@ -52,53 +89,98 @@ class SparseConv(nn.Module):
     use_bias: bool = False
     gemm_mode: str = "fused"
     compute_dtype: str = "float32"
+    out_packed: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, ctx, ctx_t=None, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x, ctx, ctx_t=None, train: bool = False):
         """``ctx`` is a [N, K] row kernel map, a WindowedMap (Pallas
         windowed-streaming kernel, ops/winconv.py), or a BrickLevel
         (brick-dense path). ``ctx_t`` is the transpose kernel map (the map
         itself for submanifold convs, the down/up partner for strided ones) -
         routes the backward pass through gathers instead of scatter-adds.
 
+        ``x`` may be a [N, Cin] array, a Packed activation, or a TUPLE of
+        either (implicit channel concatenation: the windowed path runs one
+        conv per part against the matching Cin-slice of the shared kernel and
+        sums - conv(concat(a, b), W) == conv(a, W[:, :ca]) + conv(b, W[:, ca:])
+        - so skip concatenation never materializes a concatenated tensor).
+
         The windowed kernel runs at ALL widths in training and eval: the
         former C>32 training anomaly (22.9 ms composite backward at C=64)
         was the old correction pass materializing [cap, C, Cout] f32
         tensors; with the in-place scatter + one-GEMM correction the C=64
         composite f+b is 0.95 ms (scripts/bench_winconv_bwd.py, v5e)."""
-        cin = x.shape[-1]
+        parts = x if isinstance(x, tuple) else (x,)
+        widths = [feat_width(p) for p in parts]
+        cin = sum(widths)
         w = self.param(
             "kernel", conv_init, (self.kernel_volume, cin, self.features), jnp.float32
         )
         cdt = jnp.dtype(self.compute_dtype)
         odt = jnp.bfloat16 if (_AB_OUT_BF16 and not train) else jnp.float32
+        win_ok = isinstance(ctx, WindowedMap) and (
+            ctx_t is None or isinstance(ctx_t, WindowedMap)
+        )
         if isinstance(ctx, BrickLevel):
             out = brick_conv(
-                x, ctx, w, compute_dtype=cdt, out_dtype=odt
+                _unpack_concat(parts), ctx, w, compute_dtype=cdt, out_dtype=odt
             )
-        elif isinstance(ctx, WindowedMap):
-            win_ok = ctx_t is None or isinstance(ctx_t, WindowedMap)
-            if win_ok:
-                out = windowed_conv(
-                    x.astype(cdt), ctx, w.astype(cdt), ctx_t,
-                    out_dtype=odt,
+        elif win_ok:
+            out = None
+            off = 0
+            for part, cw in zip(parts, widths):
+                ws = w[:, off : off + cw] if len(parts) > 1 else w
+                o = windowed_conv(
+                    part.astype(cdt), ctx, ws.astype(cdt), ctx_t,
+                    out_dtype=odt, out_packed=self.out_packed,
                 )
-            else:
-                idx_t = ctx_t.idx if isinstance(ctx_t, WindowedMap) else ctx_t
-                out = sparse_conv(
-                    x.astype(cdt), ctx.idx, w.astype(cdt), mode=self.gemm_mode,
-                    out_dtype=odt, nbr_idx_t=idx_t,
-                )
+                out = o if out is None else out + o
+                off += cw
         else:
+            xx = _unpack_concat(parts)
+            idx = ctx.idx if isinstance(ctx, WindowedMap) else ctx
             idx_t = ctx_t.idx if isinstance(ctx_t, WindowedMap) else ctx_t
             out = sparse_conv(
-                x.astype(cdt), ctx, w.astype(cdt), mode=self.gemm_mode,
+                xx.astype(cdt), idx, w.astype(cdt), mode=self.gemm_mode,
                 out_dtype=odt, nbr_idx_t=idx_t,
             )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-            out = out + b.astype(out.dtype)
+            if isinstance(out, Packed):
+                bt = jnp.tile(b, out.p)
+                lanes = out.data.shape[1]
+                if lanes != bt.shape[0]:
+                    bt = jnp.pad(bt, (0, lanes - bt.shape[0]))
+                out = out.replace(data=out.data + bt.astype(out.data.dtype))
+            else:
+                out = out + b.astype(out.dtype)
         return out
+
+
+class PackedDense(nn.Module):
+    """Pointwise (1x1-conv) dense layer that also accepts lane-packed input:
+    a block-diagonal GEMM in the packed layout + an in-layout regroup, so the
+    residual shortcut never materializes a tile-padded [n, c] tensor. The
+    param tree matches ``nn.Dense`` ({kernel}) so the torch importer's
+    ``Dense_0.kernel`` mapping (tools/import_torch_checkpoint.py) holds -
+    instantiate with ``name="Dense_0"``."""
+
+    features: int
+    kernel_init: nn.initializers.Initializer = conv_init
+
+    @nn.compact
+    def __call__(self, x):
+        cin = feat_width(x)
+        w = self.param("kernel", self.kernel_init, (cin, self.features), jnp.float32)
+        if not isinstance(x, Packed):
+            return x @ w.astype(x.dtype)
+        p = x.p
+        lanes = x.data.shape[1]
+        bd = jnp.kron(jnp.eye(p, dtype=w.dtype), w)  # [p*cin, p*cout] blockdiag
+        if lanes != p * cin:
+            bd = jnp.pad(bd, ((0, lanes - p * cin), (0, 0)))
+        y = x.data @ bd.astype(x.data.dtype)  # [n/p, p*features]
+        return pack_feats(y.reshape(x.n, self.features))
 
 
 class ConvBNReLU(nn.Module):
@@ -106,16 +188,17 @@ class ConvBNReLU(nn.Module):
     kernel_volume: int = 27
     gemm_mode: str = "fused"
     compute_dtype: str = "float32"
+    packed_io: bool = False
 
     @nn.compact
     def __call__(self, x, ctx, mask, train: bool, momentum=0.1, ctx_t=None):
         h = SparseConv(
             self.features, self.kernel_volume, gemm_mode=self.gemm_mode,
-            compute_dtype=self.compute_dtype,
+            compute_dtype=self.compute_dtype, out_packed=self.packed_io,
         )(x, ctx, ctx_t, train)
         if not _AB_SKIP_BN:
             h = MaskedBatchNorm()(h, mask, train, momentum)
-        return nn.relu(h)
+        return relu_any(h)
 
 
 class ResBlock(nn.Module):
@@ -128,22 +211,26 @@ class ResBlock(nn.Module):
     features: int
     gemm_mode: str = "fused"
     compute_dtype: str = "float32"
+    packed_io: bool = False
 
     @nn.compact
     def __call__(self, x, same_ctx, mask, train: bool, momentum=0.1):
-        kw = dict(gemm_mode=self.gemm_mode, compute_dtype=self.compute_dtype)
+        kw = dict(
+            gemm_mode=self.gemm_mode, compute_dtype=self.compute_dtype,
+            packed_io=self.packed_io,
+        )
         # a submanifold map is its own transpose (umap[j, K-1-k]=i <=>
         # map[i, k]=j holds with idx_t = idx for symmetric offset sets)
         ct = same_ctx if not isinstance(same_ctx, BrickLevel) else None
         h = ConvBNReLU(self.features, **kw)(x, same_ctx, mask, train, momentum, ct)
         h = ConvBNReLU(self.features, **kw)(h, same_ctx, mask, train, momentum, ct)
-        if x.shape[-1] != self.features:
+        if feat_width(x) != self.features:
             # 1x1 conv == pointwise dense (kernel volume 1, offset (0,0,0))
-            sc = nn.Dense(self.features, use_bias=False, kernel_init=conv_init)(x)
+            sc = PackedDense(self.features, name="Dense_0")(x)
             sc = MaskedBatchNorm()(sc, mask, train, momentum)
         else:
             sc = x
-        return h + sc
+        return h + match_repr(sc, h)
 
 
 class ResNetDown(nn.Module):
@@ -159,6 +246,7 @@ class ResNetDown(nn.Module):
     num_blocks: int = 2
     gemm_mode: str = "fused"
     compute_dtype: str = "float32"
+    packed_io: bool = False
 
     @nn.compact
     def __call__(
@@ -166,17 +254,21 @@ class ResNetDown(nn.Module):
         conv_ctx_t=None,
     ):
         """Args:
-        x: input features at the source level.
+        x: input features at the source level (array, Packed, or a tuple of
+          either - implicit concat, see SparseConv).
         conv_ctx: ctx for the first conv (down row-map if stride 2, else the
-          output level's BrickLevel); rows index the *output* level.
-        same_ctx_out: BrickLevel at the output level (for the ResBlocks).
+          output level's submanifold ctx); rows index the *output* level.
+        same_ctx_out: submanifold ctx at the output level (for the ResBlocks).
         mask_out: valid mask at the output level.
         conv_ctx_t: transpose map of conv_ctx (the partner up/down map for
           stride-2 convs; defaults to conv_ctx itself for submanifold maps).
         """
         cin, cout = self.conv_nn
         first_out = cin if self.stride > 1 else cout
-        kw = dict(gemm_mode=self.gemm_mode, compute_dtype=self.compute_dtype)
+        kw = dict(
+            gemm_mode=self.gemm_mode, compute_dtype=self.compute_dtype,
+            packed_io=self.packed_io,
+        )
         if conv_ctx_t is None and not isinstance(conv_ctx, BrickLevel) and self.stride == 1:
             conv_ctx_t = conv_ctx
         h = ConvBNReLU(first_out, **kw)(
@@ -189,13 +281,17 @@ class ResNetDown(nn.Module):
 
 class ResNetUp(nn.Module):
     """Concat skip, then transpose conv-BN-ReLU + N ResBlocks (reference
-    ResNetUp: cat happens at the coarse level *before* upsampling)."""
+    ResNetUp: cat happens at the coarse level *before* upsampling). The
+    concat is implicit: both parts feed the transpose conv as a tuple and
+    SparseConv splits the shared kernel (identical math, no concatenated
+    tensor, packed layouts preserved)."""
 
     conv_nn: Sequence[int]
     stride: int = 2
     num_blocks: int = 2
     gemm_mode: str = "fused"
     compute_dtype: str = "float32"
+    packed_io: bool = False
 
     @nn.compact
     def __call__(
@@ -203,13 +299,14 @@ class ResNetUp(nn.Module):
         conv_ctx_t=None,
     ):
         if skip is not None:
-            x = jnp.concatenate([x, skip], axis=-1)
+            x = (x, skip) if not isinstance(x, tuple) else (*x, skip)
         return ResNetDown(
             conv_nn=self.conv_nn,
             stride=self.stride,
             num_blocks=self.num_blocks,
             gemm_mode=self.gemm_mode,
             compute_dtype=self.compute_dtype,
+            packed_io=self.packed_io,
             name="up",
         )(x, conv_ctx, same_ctx_out, mask_out, train, momentum, conv_ctx_t)
 

@@ -16,12 +16,20 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.winconv import Packed
+
 
 class MaskedBatchNorm(nn.Module):
     """BatchNorm over valid rows of a padded [N, C] voxel feature tensor.
 
     Padding rows are zeroed on output (beta would otherwise leak into them).
     Statistics are fp32 regardless of input dtype.
+
+    Also accepts a lane-packed activation (ops/winconv.Packed, [n/p, p*c]):
+    statistics fold the p voxel slots per row back to per-channel sums and
+    the affine applies with p-tiled parameter vectors, so the normalization
+    never leaves the packed layout (no (8,128) tile-padding HBM traffic).
+    Same math; only the fp32 summation order of the batch statistics differs.
     """
 
     epsilon: float = 1e-5
@@ -30,23 +38,43 @@ class MaskedBatchNorm(nn.Module):
     @nn.compact
     def __call__(
         self,
-        x: jnp.ndarray,
+        x: "jnp.ndarray | Packed",
         mask: jnp.ndarray,
         train: bool,
         momentum: jnp.ndarray | float = 0.1,
-    ) -> jnp.ndarray:
-        c = x.shape[-1]
+    ) -> "jnp.ndarray | Packed":
+        packed = isinstance(x, Packed)
+        c = x.c if packed else x.shape[-1]
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,), jnp.float32))
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
 
-        m = mask.astype(jnp.float32)[:, None]
-        xf = x.astype(jnp.float32) * m
+        if packed:
+            p = x.p
+            lanes = x.data.shape[1]
+            # per-lane validity: voxel slot s of packed row i is mask[i*p+s]
+            m = mask.reshape(-1, p, 1).astype(jnp.float32)  # [n/p, p, 1]
+            m = jnp.broadcast_to(m, (x.data.shape[0], p, c)).reshape(-1, p * c)
+            if lanes != p * c:
+                m = jnp.pad(m, ((0, 0), (0, lanes - p * c)))
+
+            def tile(v):  # [c] -> [lanes], pad lanes 0
+                t = jnp.tile(v, p)
+                return jnp.pad(t, (0, lanes - p * c)) if lanes != p * c else t
+
+            def fold(s):  # [lanes] lane-sums -> [c] channel sums
+                return s[: p * c].reshape(p, c).sum(axis=0)
+
+        else:
+            m = mask.astype(jnp.float32)[:, None]
+            tile = fold = lambda v: v
+        data = x.data if packed else x
+        xf = data.astype(jnp.float32) * m
         if train:
-            cnt = jnp.sum(m)
-            sx = jnp.sum(xf, axis=0)
-            sxx = jnp.sum(xf * xf, axis=0)
+            cnt = jnp.sum(mask.astype(jnp.float32))
+            sx = fold(jnp.sum(xf, axis=0))
+            sxx = fold(jnp.sum(xf * xf, axis=0))
             if self.sync_axis is not None:
                 import jax
 
@@ -68,9 +96,12 @@ class MaskedBatchNorm(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
 
-        y = (x.astype(jnp.float32) - mean) * jax_rsqrt(var + self.epsilon)
-        y = y * scale + bias
-        return (y * m).astype(x.dtype)
+        y = (data.astype(jnp.float32) - tile(mean)) * tile(
+            jax_rsqrt(var + self.epsilon)
+        )
+        y = y * tile(scale) + tile(bias)
+        y = (y * m).astype(data.dtype)
+        return x.replace(data=y) if packed else y
 
 
 def jax_rsqrt(v: jnp.ndarray) -> jnp.ndarray:

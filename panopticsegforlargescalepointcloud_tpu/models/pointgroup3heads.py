@@ -196,6 +196,10 @@ class PanopticConfig:
     # interpret mode is exercised by tests/test_winconv.py); "on"/"off"
     # force it. 3.6-4.9x per conv on v5e (scripts/bench_winconv.py).
     use_winconv: str = "auto"
+    # keep trunk activations lane-packed between windowed convs (see
+    # models/modules.py: removes the (8,128) tile-padded f32 HBM roundtrip
+    # per conv); only consulted where the windowed kernel runs
+    packed_trunk: bool = True
     compute_dtype: str = "bfloat16"  # conv gather/GEMM precision (fp32 accum)
     # "paper" (7-level sparse-conv UNet) | "tiny" (3 levels, CI) |
     # "kpconv" (kernel-point conv UNet, reference KPConvPaper) |
@@ -412,6 +416,7 @@ class PointGroup3HeadsNet(nn.Module):
             self.backbone = SparseUNet(
                 **plan, gemm_mode=self.cfg.gemm_mode,
                 compute_dtype=self.cfg.compute_dtype, remat=self.cfg.remat,
+                packed_io=self.cfg.packed_trunk,
             )
         f = self.cfg.in_feat
         self.semantic_mlp = PointMLP((f,), use_bias=False)
@@ -427,7 +432,7 @@ class PointGroup3HeadsNet(nn.Module):
             self.scorer_encoder = SparseEncoder(
                 **scorer_encoder_plan(f), num_segments=self.cfg.total_props,
                 gemm_mode=self.cfg.gemm_mode, compute_dtype=self.cfg.compute_dtype,
-                remat=self.cfg.remat,
+                remat=self.cfg.remat, packed_io=self.cfg.packed_trunk,
             )
         elif self.cfg.scorer_type == "mlp":
             # reference ScorerMLP: MLP([out_nc, out_nc, scorer_out_nc]) (:50)
@@ -436,6 +441,7 @@ class PointGroup3HeadsNet(nn.Module):
             self.scorer = SparseUNet(
                 **scorer_unet_plan(f), gemm_mode=self.cfg.gemm_mode,
                 compute_dtype=self.cfg.compute_dtype, remat=self.cfg.remat,
+                packed_io=self.cfg.packed_trunk,
             )
         self.scorer_head = nn.Dense(1)
         if self.cfg.mask_supervise:

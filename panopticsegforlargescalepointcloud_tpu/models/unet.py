@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from ..ops.hierarchy import Hierarchy
 from ..ops.scatter import segment_max
+from ..ops.winconv import unpack_feats
 from .modules import PointMLP, ResNetDown, ResNetUp
 
 
@@ -38,6 +39,10 @@ class SparseUNet(nn.Module):
     num_blocks: int = 2
     gemm_mode: str = "fused"
     compute_dtype: str = "float32"
+    # keep activations lane-packed between windowed convs (ops/winconv.Packed;
+    # removes the (8,128) tile-padded f32 write + repack read per conv that
+    # dominated the trunk wall - see models/modules.py docstring)
+    packed_io: bool = True
     # rematerialize each down/up module in the backward pass: activations on
     # TPU pay an 8x HBM tile-padding tax at C=16 ((8,128) lanes), so saving
     # every conv's output OOMs the full train step at paper batch sizes;
@@ -73,6 +78,7 @@ class SparseUNet(nn.Module):
                 num_blocks=self.num_blocks,
                 gemm_mode=self.gemm_mode,
                 compute_dtype=self.compute_dtype,
+                packed_io=self.packed_io,
                 name=f"down_{i}",
             )(
                 x,
@@ -108,6 +114,7 @@ class SparseUNet(nn.Module):
                 num_blocks=self.num_blocks,
                 gemm_mode=self.gemm_mode,
                 compute_dtype=self.compute_dtype,
+                packed_io=self.packed_io,
                 name=f"up_{i}",
             )(
                 x,
@@ -121,7 +128,7 @@ class SparseUNet(nn.Module):
             )
             level = out_level
         assert level == 0, f"UNet did not return to level 0 (at {level})"
-        return x
+        return unpack_feats(x)
 
 
 class SparseEncoder(nn.Module):
@@ -139,6 +146,7 @@ class SparseEncoder(nn.Module):
     num_blocks: int = 2
     gemm_mode: str = "fused"
     compute_dtype: str = "float32"
+    packed_io: bool = True  # see SparseUNet.packed_io
     remat: bool = False  # see SparseUNet.remat
 
     @property
@@ -164,6 +172,7 @@ class SparseEncoder(nn.Module):
                 num_blocks=self.num_blocks,
                 gemm_mode=self.gemm_mode,
                 compute_dtype=self.compute_dtype,
+                packed_io=self.packed_io,
                 name=f"down_{i}",
             )(
                 x,
@@ -176,6 +185,6 @@ class SparseEncoder(nn.Module):
             )
             level = out_level
         grid = hier.grids[level]
-        x = PointMLP(self.global_nn)(x, grid.mask, train, momentum)
+        x = PointMLP(self.global_nn)(unpack_feats(x), grid.mask, train, momentum)
         seg = jnp.where(grid.mask, grid.batch, -1)
         return segment_max(x, seg, self.num_segments, fill=0.0)

@@ -103,6 +103,62 @@ def supports_windowing(
     return n_out % tr == 0 and n_in >= u and n_in % _ALIGN == 0
 
 
+@flax.struct.dataclass
+class Packed:
+    """Lane-packed activations: ``data[i, s*c:(s+1)*c] == x[i*p + s, :]``.
+
+    The logical [n, c] tensor at c < 128 pays an (8, 128) tile-padding tax in
+    HBM (8x junk bytes at c=16); the packed layout stores p = 128//c voxels
+    per fully-utilized 128-lane row. ``data`` is ``[n // p, lanes]`` with
+    ``lanes = _lanes_pad(p, c)`` (pad lanes, if any, are zero). Keeping
+    activations packed BETWEEN convs removes the padded-f32 write + repack
+    read per conv that dominated the trunk wall (PLAN.md round 4: chained
+    conv ~1.44 ms vs ~0.3 ms kernel time).
+    """
+
+    data: jnp.ndarray
+    n: int = flax.struct.field(pytree_node=False)
+    c: int = flax.struct.field(pytree_node=False)
+
+    @property
+    def p(self) -> int:
+        return self.n // self.data.shape[0]
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+    def astype(self, dt) -> "Packed":
+        return self.replace(data=self.data.astype(dt))
+
+    def __add__(self, other: "Packed") -> "Packed":
+        assert isinstance(other, Packed) and (self.n, self.c) == (other.n, other.c)
+        return self.replace(data=self.data + other.data)
+
+
+def pack_feats(x: jnp.ndarray) -> "Packed | jnp.ndarray":
+    """[n, c] -> Packed (identity when the pack factor is 1: c >= 128 rows
+    already fill the lane tile, so the packed repr is the plain array)."""
+    if isinstance(x, Packed):
+        return x
+    n, c = x.shape
+    p = _pack_factor(c)
+    if p == 1 or n % p:
+        return x
+    return Packed(data=_pack(x, p), n=n, c=c)
+
+
+def unpack_feats(x: "Packed | jnp.ndarray") -> jnp.ndarray:
+    if not isinstance(x, Packed):
+        return x
+    p = x.p
+    return x.data[:, : p * x.c].reshape(x.n, x.c)
+
+
+def feat_width(x: "Packed | jnp.ndarray") -> int:
+    return x.c if isinstance(x, Packed) else x.shape[-1]
+
+
 def make_windowed(
     idx: jnp.ndarray,
     n_in: int,
@@ -206,6 +262,7 @@ def _union_dma(us_ref, feats_ref, ubuf, sems, t, p, up):
 def _fwd_kernel(
     us_ref, offk_ref, lidx_ref, w_ref, feats_ref, out_ref, ubuf, sems,
     *, nk: int, tr: int, wp: int, up: int, p: int, c: int, cout: int,
+    pout: int = 1,
 ):
     t = pl.program_id(0)
     nt = pl.num_programs(0)
@@ -229,12 +286,22 @@ def _fwd_kernel(
         acc = acc + jnp.dot(
             gm, w_ref[kk], preferred_element_type=jnp.float32
         )
-    out_ref[:] = acc
+    if pout > 1:
+        # emit lane-packed rows: the sublane->lane regroup happens in VMEM
+        # registers instead of as a post-hoc HBM retile pass
+        po = acc.reshape(tr // pout, pout * cout)
+        lanes = out_ref.shape[-1]
+        if lanes != pout * cout:
+            po = jnp.pad(po, ((0, 0), (0, lanes - pout * cout)))
+        out_ref[:] = po
+    else:
+        out_ref[:] = acc
 
 
 def _dw_kernel(
     us_ref, offk_ref, lidx_ref, g_ref, feats_ref, dw_ref, ubuf, sems,
     *, nk: int, tr: int, wp: int, up: int, p: int, c: int,
+    pg: int = 1, cout: int = 0,
 ):
     t = pl.program_id(0)
     nt = pl.num_programs(0)
@@ -250,7 +317,10 @@ def _dw_kernel(
     def _():
         _union_dma(us_ref, feats_ref, ubuf, sems, t + 1, p, up).start()
 
-    gq = g_ref[:].astype(jnp.bfloat16)  # [tr, cout]
+    if pg > 1:  # lane-packed upstream grad: regroup to one output row/sublane
+        gq = g_ref[:][:, : pg * cout].reshape(tr, cout).astype(jnp.bfloat16)
+    else:
+        gq = g_ref[:].astype(jnp.bfloat16)  # [tr, cout]
     for kk in range(nk):
         offp = pl.multiple_of(offk_ref[t * nk + kk] // p, 8)
         gm = _gather_masked(lidx_ref[:, kk], ubuf, t % 2, offp, wp, p, c, tr)
@@ -285,15 +355,32 @@ def _pack(feats: jnp.ndarray, p: int) -> jnp.ndarray:
     return fp
 
 
-def _run_fwd(feats, weights, wmap: WindowedMap):
-    n_out, nk = wmap.idx.shape
-    n_in, c = feats.shape
-    cout = weights.shape[2]
+def _in_pack(feats) -> tuple:
+    """(packed bf16 data [n//p, lanes], n, c, p) for array or Packed input."""
+    if isinstance(feats, Packed):
+        return feats.data.astype(jnp.bfloat16), feats.n, feats.c, feats.p
+    n, c = feats.shape
     p = _pack_factor(c)
+    return _pack(feats.astype(jnp.bfloat16), p), n, c, p
+
+
+def _run_fwd(feats, weights, wmap: WindowedMap, out_packed: bool = False):
+    n_out, nk = wmap.idx.shape
+    fp, n_in, c, p = _in_pack(feats)
+    cout = weights.shape[2]
     wp = wmap.w // p
     up = wmap.u // p
     t = n_out // wmap.tr
-    fp = _pack(feats.astype(jnp.bfloat16), p)
+    pout = _pack_factor(cout) if out_packed else 1
+    if pout > 1 and wmap.tr % pout:
+        pout = 1
+    lanes_out = _lanes_pad(pout, cout) if pout > 1 else cout
+    out_block = (
+        (wmap.tr // pout, lanes_out) if pout > 1 else (wmap.tr, cout)
+    )
+    out_shape = (
+        (n_out // pout, lanes_out) if pout > 1 else (n_out, cout)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # us, offk
         grid=(t,),
@@ -306,8 +393,7 @@ def _run_fwd(feats, weights, wmap: WindowedMap):
             pl.BlockSpec(memory_space=pltpu.ANY),  # feats stay in HBM
         ],
         out_specs=pl.BlockSpec(
-            (wmap.tr, cout), lambda i, us, offk: (i, 0),
-            memory_space=pltpu.VMEM,
+            out_block, lambda i, us, offk: (i, 0), memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((2, up, _lanes_pad(p, c)), jnp.bfloat16),
@@ -315,31 +401,40 @@ def _run_fwd(feats, weights, wmap: WindowedMap):
         ],
     )
     kern = partial(
-        _fwd_kernel, nk=nk, tr=wmap.tr, wp=wp, up=up, p=p, c=c, cout=cout
+        _fwd_kernel, nk=nk, tr=wmap.tr, wp=wp, up=up, p=p, c=c, cout=cout,
+        pout=pout,
     )
     wtiled = jnp.tile(weights.astype(jnp.bfloat16), (1, p, 1))  # [nk, p*c, cout]
     lp = _lanes_pad(p, c)
     if lp != p * c:
         wtiled = jnp.pad(wtiled, ((0, 0), (0, lp - p * c), (0, 0)))
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n_out, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(
         wmap.us, wmap.offk.reshape(-1), wmap.lidx, wtiled, fp,
     )
+    if pout > 1:
+        return Packed(data=out, n=n_out, c=cout)
+    return out
 
 
 def _run_dw(feats, g, wmap: WindowedMap):
     n_out, nk = wmap.idx.shape
-    n_in, c = feats.shape
-    cout = g.shape[1]
-    p = _pack_factor(c)
+    fp, n_in, c, p = _in_pack(feats)
     wp = wmap.w // p
     up = wmap.u // p
     t = n_out // wmap.tr
-    fp = _pack(feats.astype(jnp.bfloat16), p)
+    if isinstance(g, Packed):
+        cout, pg = g.c, g.p
+        g_arr = g.data
+        g_block = (wmap.tr // pg, g_arr.shape[1])
+    else:
+        cout, pg = g.shape[1], 1
+        g_arr = g
+        g_block = (wmap.tr, cout)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(t,),
@@ -349,7 +444,7 @@ def _run_dw(feats, g, wmap: WindowedMap):
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (wmap.tr, cout), lambda i, us, offk: (i, 0),
+                g_block, lambda i, us, offk: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -363,7 +458,10 @@ def _run_dw(feats, g, wmap: WindowedMap):
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kern = partial(_dw_kernel, nk=nk, tr=wmap.tr, wp=wp, up=up, p=p, c=c)
+    kern = partial(
+        _dw_kernel, nk=nk, tr=wmap.tr, wp=wp, up=up, p=p, c=c, pg=pg,
+        cout=cout,
+    )
     dw_full = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct(
@@ -371,7 +469,7 @@ def _run_dw(feats, g, wmap: WindowedMap):
         ),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(wmap.us, wmap.offk.reshape(-1), wmap.lidx, g, fp)
+    )(wmap.us, wmap.offk.reshape(-1), wmap.lidx, g_arr, fp)
     # fold the slot-expanded rows: dW_k = sum_s dw_full[k, s*c:(s+1)*c]
     return dw_full[:, : p * c].reshape(nk, p, c, cout).sum(axis=1)
 
@@ -387,7 +485,7 @@ def _corr_apply(feats, weights, wmap: WindowedMap, out):
     tensor (67 MB at C=128). Here the per-entry contribution comes from one
     ``[cap, C] @ [C, K*Cout]`` GEMM + a one-hot offset select, and the repair
     is an in-place scatter-add on at most ``corr_cap`` rows of ``out``."""
-    c = feats.shape[1]
+    c = feat_width(feats)
     cout = weights.shape[2]
     nk = wmap.k
     live = wmap.corr >= 0
@@ -395,13 +493,31 @@ def _corr_apply(feats, weights, wmap: WindowedMap, out):
     i = e // nk
     kk = e - i * nk
     j = wmap.idx.reshape(-1)[e]  # valid by construction of corr
-    f = jnp.take(feats, jnp.where(live, j, 0), axis=0).astype(jnp.float32)
+    f = _take_rows(feats, jnp.where(live, j, 0)).astype(jnp.float32)
     wall = weights.astype(jnp.float32).transpose(1, 0, 2).reshape(c, nk * cout)
     allk = (f @ wall).reshape(-1, nk, cout)  # [cap, K, Cout]
     oh = (kk[:, None] == jnp.arange(nk, dtype=kk.dtype)[None, :]) & live[:, None]
     contrib = jnp.sum(allk * oh[:, :, None].astype(allk.dtype), axis=1)
+    if isinstance(out, Packed):
+        pout = out.p
+        rows = jnp.where(live, i // pout, out.data.shape[0])  # dead -> dropped
+        cols = (i % pout)[:, None] * cout + jnp.arange(cout)[None, :]
+        data = out.data.at[rows[:, None], cols].add(
+            contrib.astype(out.dtype), mode="drop"
+        )
+        return out.replace(data=data)
     tgt = jnp.where(live, i, out.shape[0])  # dead entries -> dropped
     return out.at[tgt].add(contrib.astype(out.dtype), mode="drop")
+
+
+def _take_rows(feats, rows: jnp.ndarray) -> jnp.ndarray:
+    """Gather logical [*, c] rows from an array or Packed activation."""
+    if not isinstance(feats, Packed):
+        return jnp.take(feats, rows, axis=0)
+    p, c = feats.p, feats.c
+    grp = jnp.take(feats.data, rows // p, axis=0)  # [cap, lanes]
+    cols = (rows % p)[:, None] * c + jnp.arange(c)[None, :]
+    return jnp.take_along_axis(grp, cols, axis=1)
 
 
 def _corr_dw(feats, g, wmap: WindowedMap):
@@ -417,8 +533,8 @@ def _corr_dw(feats, g, wmap: WindowedMap):
     i = e // nk
     kk = e - i * nk
     j = wmap.idx.reshape(-1)[e]
-    f = jnp.take(feats, jnp.where(live, j, 0), axis=0).astype(jnp.float32)
-    gi = jnp.take(g, jnp.where(live, i, 0), axis=0).astype(jnp.float32)
+    f = _take_rows(feats, jnp.where(live, j, 0)).astype(jnp.float32)
+    gi = _take_rows(g, jnp.where(live, i, 0)).astype(jnp.float32)
     oh = (kk[:, None] == jnp.arange(nk, dtype=kk.dtype)[None, :]) & live[:, None]
     fk = f[:, None, :] * oh[:, :, None].astype(jnp.float32)  # [cap, K, C]
     return jnp.einsum("ekc,ed->kcd", fk, gi)
@@ -430,22 +546,28 @@ def _flip_t(weights: jnp.ndarray) -> jnp.ndarray:
     return jnp.flip(weights, axis=0).transpose(0, 2, 1)
 
 
-@jax.custom_vjp
-def _winconv_tm(feats, weights, wmap: WindowedMap, wmap_t: WindowedMap):
-    out = _run_fwd(feats, weights, wmap)
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _winconv_tm(out_packed, feats, weights, wmap: WindowedMap, wmap_t: WindowedMap):
+    out = _run_fwd(feats, weights, wmap, out_packed)
     return _corr_apply(feats, weights, wmap, out)
 
 
-def _winconv_tm_fwd(feats, weights, wmap, wmap_t):
-    return _winconv_tm(feats, weights, wmap, wmap_t), (feats, weights, wmap, wmap_t)
+def _winconv_tm_fwd(out_packed, feats, weights, wmap, wmap_t):
+    return (
+        _winconv_tm(out_packed, feats, weights, wmap, wmap_t),
+        (feats, weights, wmap, wmap_t),
+    )
 
 
-def _winconv_tm_bwd(res, g):
+def _winconv_tm_bwd(out_packed, res, g):
     feats, weights, wmap, wmap_t = res
     w_t = _flip_t(weights)
-    gf = _run_fwd(g, w_t, wmap_t)
+    # dX takes the INPUT's representation: packed input -> packed grad
+    gf = _run_fwd(g, w_t, wmap_t, out_packed=isinstance(feats, Packed))
     gf = _corr_apply(g, w_t, wmap_t, gf)
-    gw = _run_dw(feats, g.astype(jnp.float32), wmap) + _corr_dw(feats, g, wmap)
+    if not isinstance(g, Packed):
+        g = g.astype(jnp.float32)
+    gw = _run_dw(feats, g, wmap) + _corr_dw(feats, g, wmap)
     return gf.astype(feats.dtype), gw.astype(weights.dtype), None, None
 
 
@@ -453,16 +575,22 @@ _winconv_tm.defvjp(_winconv_tm_fwd, _winconv_tm_bwd)
 
 
 def windowed_conv(
-    feats: jnp.ndarray,
+    feats: "jnp.ndarray | Packed",
     wmap: WindowedMap,
     weights: jnp.ndarray,
     wmap_t: WindowedMap | None = None,
     out_dtype=jnp.float32,
-) -> jnp.ndarray:
+    out_packed: bool = False,
+) -> "jnp.ndarray | Packed":
     """Sparse conv through a WindowedMap (Pallas streaming kernel + exact
     correction). ``wmap_t`` is the transpose map (the map itself for
-    submanifold convs); required for training (backward runs through it)."""
+    submanifold convs); required for training (backward runs through it).
+
+    ``feats`` may be a plain [n_in, c] array or a :class:`Packed` activation;
+    ``out_packed=True`` emits a Packed output (falling back to a plain array
+    when the output width doesn't pack, cout >= 128). Packed in/out keeps a
+    conv chain free of the (8, 128) tile-padding HBM tax between convs."""
     if wmap_t is None:
         wmap_t = wmap
-    out = _winconv_tm(feats, weights, wmap, wmap_t)
+    out = _winconv_tm(bool(out_packed), feats, weights, wmap, wmap_t)
     return out.astype(out_dtype)
