@@ -20,18 +20,78 @@ import dataclasses
 import json
 from functools import partial
 import os
+import sys
 import time
 
 import numpy as np
 
 _CONF_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "conf")
 
+_WINCONV_OK: "bool | None" = None
+
+
+def winconv_canary() -> bool:
+    """Compile + run the windowed Pallas kernels once (fwd lane-pack, dX,
+    dW lane-unpack) on the default backend before committing the bench to
+    them. Mosaic's vector-op support varies across libtpu builds - the
+    round-4 driver terminal rejected a shape cast the in-round terminal had
+    accepted and the whole bench died rc=1 (BENCH_r04.json). On any kernel
+    failure the bench now degrades to the exact row-gather conv
+    (use_winconv=off) and still reports a number."""
+    global _WINCONV_OK
+    if _WINCONV_OK is not None:
+        return _WINCONV_OK
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() != "tpu":
+        _WINCONV_OK = True  # interpret mode: nothing backend-specific to probe
+        return True
+    from panopticsegforlargescalepointcloud_tpu.ops.winconv import (
+        make_windowed,
+        pack_feats,
+        unpack_feats,
+        windowed_conv,
+    )
+
+    try:
+        n = 2048
+        i = jnp.arange(n, dtype=jnp.int32)
+        off = jnp.arange(-13, 14, dtype=jnp.int32)
+        idx = jnp.clip(i[:, None] + off[None, :], 0, n - 1)  # monotone cols
+        wm = jax.jit(lambda x: make_windowed(x, n, tr=256, w=512, u=2048))(idx)
+        f = jnp.ones((n, 16), jnp.bfloat16)
+        w = jnp.full((27, 16, 16), 0.01, jnp.bfloat16)
+
+        def loss(f, w):
+            o = windowed_conv(pack_feats(f), wm, w, wm, out_packed=True)
+            ou = unpack_feats(o).astype(jnp.float32)
+            return jnp.sum(ou * ou)
+
+        gf, gw = jax.jit(jax.grad(loss, argnums=(0, 1)))(f, w)
+        assert np.isfinite(float(jnp.sum(gw.astype(jnp.float32))))
+        _WINCONV_OK = True
+    except Exception as e:  # compile OR runtime failure -> row-gather path
+        print(
+            "WARNING: windowed Pallas conv unusable on this backend "
+            f"({type(e).__name__}: {str(e)[:300]}); bench falls back to the "
+            "row-gather conv (use_winconv=off)",
+            file=sys.stderr,
+        )
+        _WINCONV_OK = False
+    return _WINCONV_OK
+
 
 def shipped_config(data: str, num_samples: int, **overrides):
     """Build the PanopticConfig the PRODUCT CLIs would run - the bench
     measures the shipped flagship yaml (Setting IV + its clustering/scorer
     budgets), not a bench-only configuration. Returns (cfg, composed_yaml).
-    """
+
+    If the windowed Pallas kernels don't compile on this backend's libtpu
+    build (see :func:`winconv_canary`), the config degrades to the exact
+    row-gather conv so the bench still completes."""
+    if not winconv_canary():
+        overrides.setdefault("use_winconv", "off")
     from panopticsegforlargescalepointcloud_tpu.config import (
         load_config,
         panoptic_config_from_yaml,

@@ -226,6 +226,51 @@ def _pack_factor(c: int) -> int:
     return min(p, 8)
 
 
+def _pack_rows(acc, pout: int, cout: int, lanes: int):
+    """In-kernel lane pack [tr, cout] -> [tr // pout, lanes] WITHOUT a
+    sublane->lane shape cast: Mosaic's infer-vector-layout rejects
+    ``tpu.reshape (256,16)->(32,128)``-style casts on some libtpu builds
+    (the round-4 driver bench died on exactly that op), so the lane movement
+    is routed through the MXU instead.
+
+    1. ``wide = acc @ T`` tiles the cout block across the pout lane slots
+       (T[c, j*cout+c] = 1): one tiny [tr, cout] x [cout, lanes] GEMM.
+    2. ``wide.reshape(tr//pout, pout, lanes)`` splits SUBLANES only (lane
+       dim stays native 128-wide - a supported cast).
+    3. packed row q keeps lane slot j from sublane j: static middle-dim
+       slices + a lane-group mask, summed (exactly one live term per lane).
+    """
+    tr = acc.shape[0]
+    li = jax.lax.broadcasted_iota(jnp.int32, (cout, lanes), 1)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (cout, lanes), 0)
+    tm = ((li % cout == ci) & (li < pout * cout)).astype(acc.dtype)
+    wide = jnp.dot(acc, tm, preferred_element_type=jnp.float32)
+    a3 = wide.reshape(tr // pout, pout, lanes)
+    lane_grp = jax.lax.broadcasted_iota(jnp.int32, (tr // pout, lanes), 1) // cout
+    po = jnp.zeros((tr // pout, lanes), jnp.float32)
+    for j in range(pout):
+        po = po + jnp.where(lane_grp == j, a3[:, j, :], 0.0)
+    return po
+
+
+def _unpack_rows(gp, pg: int, cout: int, tr: int):
+    """In-kernel lane unpack [tr // pg, lanes] -> [tr, cout]: the inverse of
+    :func:`_pack_rows`, again avoiding the lane->sublane shape cast. Each
+    packed row is broadcast over its pg sublanes (native-lane reshape),
+    masked down to the lane slot owned by that sublane, and the slots are
+    folded back to cout lanes with one [tr, lanes] x [lanes, cout] GEMM -
+    exactly one live term per output element, so the fold is exact."""
+    lanes = gp.shape[1]
+    w2 = jnp.broadcast_to(gp[:, None, :], (tr // pg, pg, lanes)).reshape(tr, lanes)
+    rmod = jax.lax.broadcasted_iota(jnp.int32, (tr, lanes), 0) % pg
+    li = jax.lax.broadcasted_iota(jnp.int32, (tr, lanes), 1)
+    w2 = jnp.where(rmod == li // cout, w2, 0.0)
+    lj = jax.lax.broadcasted_iota(jnp.int32, (lanes, cout), 0)
+    cj = jax.lax.broadcasted_iota(jnp.int32, (lanes, cout), 1)
+    um = ((lj % cout == cj) & (lj < pg * cout)).astype(w2.dtype)
+    return jnp.dot(w2, um, preferred_element_type=jnp.float32)
+
+
 def _gather_masked(lidx_k, ubuf, slot_buf, offp, wp, p, c, tr):
     """One offset's row gather from the union buffer: one-hot matmul over the
     [wp, p*c] window view, then a full-width lane mask zeroing every slot
@@ -288,12 +333,9 @@ def _fwd_kernel(
         )
     if pout > 1:
         # emit lane-packed rows: the sublane->lane regroup happens in VMEM
-        # registers instead of as a post-hoc HBM retile pass
-        po = acc.reshape(tr // pout, pout * cout)
-        lanes = out_ref.shape[-1]
-        if lanes != pout * cout:
-            po = jnp.pad(po, ((0, 0), (0, lanes - pout * cout)))
-        out_ref[:] = po
+        # registers instead of as a post-hoc HBM retile pass (pad lanes come
+        # out zero from the tile matrix - no separate pad needed)
+        out_ref[:] = _pack_rows(acc, pout, cout, out_ref.shape[-1])
     else:
         out_ref[:] = acc
 
@@ -318,7 +360,7 @@ def _dw_kernel(
         _union_dma(us_ref, feats_ref, ubuf, sems, t + 1, p, up).start()
 
     if pg > 1:  # lane-packed upstream grad: regroup to one output row/sublane
-        gq = g_ref[:][:, : pg * cout].reshape(tr, cout).astype(jnp.bfloat16)
+        gq = _unpack_rows(g_ref[:], pg, cout, tr).astype(jnp.bfloat16)
     else:
         gq = g_ref[:].astype(jnp.bfloat16)  # [tr, cout]
     for kk in range(nk):
