@@ -43,6 +43,7 @@ def main():
     )
     from panopticsegforlargescalepointcloud_tpu.train.evaluator import (
         FullSceneEvaluator,
+        eval_tile_capacity,
     )
 
     from panopticsegforlargescalepointcloud_tpu.config import explicit_overrides
@@ -89,12 +90,7 @@ def main():
     params = jax.tree_util.tree_map(jnp.asarray, weights["params"])
     stats = jax.tree_util.tree_map(jnp.asarray, weights["batch_stats"])
 
-    # per-TILE row budget: data yamls size eval_voxel_capacity to one tile
-    # (training's voxel_capacity covers the whole multi-tile batch); a tile
-    # never needs more rows than the whole training batch, so a small
-    # voxel_capacity override (smoke runs) shrinks eval too
-    vcap = int(run_cfg["data"].get("voxel_capacity", 65536))
-    capacity = min(int(run_cfg["data"].get("eval_voxel_capacity") or vcap), vcap)
+    capacity = eval_tile_capacity(run_cfg["data"])
     # num_devices=D batches one tile per device through a sharded forward
     # (parallel/mesh.py); block merging stays host-side in tile order
     nd = int(cfg.get("num_devices", 1))

@@ -47,6 +47,7 @@ def main():
     from panopticsegforlargescalepointcloud_tpu.train.checkpoint import ModelCheckpoint
     from panopticsegforlargescalepointcloud_tpu.train.evaluator import (
         FullSceneEvaluator,
+        eval_tile_capacity,
     )
 
     from panopticsegforlargescalepointcloud_tpu.config import explicit_overrides
@@ -89,13 +90,7 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
     evaluator = FullSceneEvaluator(
         pcfg, model, params, stats, dataset,
-        # per-TILE row budget (training's voxel_capacity covers a whole
-        # batch; a tile never needs more rows than that batch - see eval.py)
-        capacity=min(
-            int(run_cfg["data"].get("eval_voxel_capacity")
-                or run_cfg["data"].get("voxel_capacity", 65536)),
-            int(run_cfg["data"].get("voxel_capacity", 65536)),
-        ),
+        capacity=eval_tile_capacity(run_cfg["data"]),
     )
     for fi in range(len(dataset.files)):
         raw = dataset.raw_clouds[fi]

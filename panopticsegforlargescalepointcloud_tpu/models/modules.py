@@ -29,6 +29,7 @@ Init mirrors the reference: kaiming-normal fan_out for conv kernels
 from __future__ import annotations
 
 import os
+import sys
 from typing import Sequence
 
 import flax.linen as nn
@@ -38,9 +39,22 @@ import jax.numpy as jnp
 # never the product path): PST_CONV_OUT_BF16 emits conv outputs in bf16
 # instead of f32 to halve inter-conv HBM traffic (BN still computes in f32
 # internally); PST_SKIP_BN drops the BN between convs entirely (numerics
-# change - timing attribution only).
-_AB_OUT_BF16 = bool(os.environ.get("PST_CONV_OUT_BF16"))
-_AB_SKIP_BN = bool(os.environ.get("PST_SKIP_BN"))
+# change - timing attribution only). Read at CALL (trace) time, never import
+# time, and warn loudly: a leftover export from a bench shell must not
+# silently alter shipped model numerics (advisor r4).
+_AB_WARNED: set = set()
+
+
+def _ab_env(name: str) -> bool:
+    val = bool(os.environ.get(name))
+    if val and name not in _AB_WARNED:
+        _AB_WARNED.add(name)
+        print(
+            f"WARNING: {name} is set - bench-only A/B override ACTIVE; "
+            "model numerics differ from shipped defaults",
+            file=sys.stderr,
+        )
+    return val
 
 from ..ops.brick import BrickLevel, brick_conv
 from ..ops.conv import sparse_conv
@@ -117,7 +131,11 @@ class SparseConv(nn.Module):
             "kernel", conv_init, (self.kernel_volume, cin, self.features), jnp.float32
         )
         cdt = jnp.dtype(self.compute_dtype)
-        odt = jnp.bfloat16 if (_AB_OUT_BF16 and not train) else jnp.float32
+        odt = (
+            jnp.bfloat16
+            if (_ab_env("PST_CONV_OUT_BF16") and not train)
+            else jnp.float32
+        )
         win_ok = isinstance(ctx, WindowedMap) and (
             ctx_t is None or isinstance(ctx_t, WindowedMap)
         )
@@ -196,7 +214,7 @@ class ConvBNReLU(nn.Module):
             self.features, self.kernel_volume, gemm_mode=self.gemm_mode,
             compute_dtype=self.compute_dtype, out_packed=self.packed_io,
         )(x, ctx, ctx_t, train)
-        if not _AB_SKIP_BN:
+        if not _ab_env("PST_SKIP_BN"):
             h = MaskedBatchNorm()(h, mask, train, momentum)
         return relu_any(h)
 

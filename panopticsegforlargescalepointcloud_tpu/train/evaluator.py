@@ -28,6 +28,27 @@ from ..train.step import batch_arrays, make_eval_forward
 log = logging.getLogger(__name__)
 
 
+def eval_tile_capacity(data_cfg) -> int:
+    """Per-TILE row budget for eval/forward: data yamls size
+    ``eval_voxel_capacity`` to one tile (training's ``voxel_capacity`` covers
+    the whole multi-tile batch); a tile never needs more rows than the whole
+    training batch, so a small ``voxel_capacity`` override (smoke runs)
+    shrinks eval too. Warns when that clamp actually binds - a run trained
+    with a deliberately tight voxel_capacity would otherwise silently
+    truncate eval tiles the data yaml explicitly sized larger (advisor r4)."""
+    vcap = int(data_cfg.get("voxel_capacity", 65536))
+    want = int(data_cfg.get("eval_voxel_capacity") or vcap)
+    if want > vcap:
+        log.warning(
+            "eval_voxel_capacity=%d clamped to training voxel_capacity=%d: "
+            "tiles larger than %d rows will be truncated (overflow counters "
+            "report it); retrain or raise voxel_capacity to honor the "
+            "configured eval tile size",
+            want, vcap, vcap,
+        )
+    return min(want, vcap)
+
+
 class FullSceneEvaluator:
     def __init__(
         self,
@@ -84,12 +105,14 @@ class FullSceneEvaluator:
                     pcfg,
                     num_samples=g,
                     max_props_rg=pcfg.max_props_rg * g,
-                    # fractional caps scale automatically with the g-times
-                    # larger padded row count (resolved_point_cap); absolute
-                    # row budgets must be multiplied explicitly
-                    rg_point_cap=(pcfg.rg_point_cap * g
-                                  if pcfg.rg_point_cap >= 1 else
-                                  pcfg.rg_point_cap),
+                    # resolve the PER-TILE cap first and pass g times it as an
+                    # absolute budget: resolving the fraction against the
+                    # g-times-larger row count would round up only once, up to
+                    # (g-1)*2047 rows tighter than g independent per-tile caps
+                    # - near occupancy boundaries grouped eval could overflow
+                    # where sequential eval would not (advisor r4)
+                    rg_point_cap=(pcfg.resolved_point_cap(capacity) * g
+                                  if pcfg.rg_point_cap else 0),
                 )
             self._fwd = make_eval_forward(fcfg, model, with_clustering=True)
 

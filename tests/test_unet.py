@@ -56,6 +56,49 @@ class TestMaskedBatchNorm:
                               else new_vars["batch_stats"]["mean"])
         np.testing.assert_allclose(got_mean, 0.5 * xv.mean(0), rtol=1e-5, atol=1e-6)
 
+    def test_packed_train_matches_unpacked(self, rng):
+        """Packed-layout BN train branch (per-lane mask expansion, fold() of
+        lane sums into channel stats, pad-lane handling) must match the plain
+        [N, C] path bit-for-bit in outputs AND batch_stats updates (advisor
+        r4: the UNet win-vs-rows parity test only covered train=False).
+
+        c=16 packs 8 voxels/row with no pad lanes; c=24 packs 4 voxels/row
+        into 96 live lanes + 32 pad lanes (_lanes_pad rounds to 128)."""
+        from panopticsegforlargescalepointcloud_tpu.ops.winconv import (
+            Packed,
+            pack_feats,
+            unpack_feats,
+        )
+
+        for c in (16, 24):
+            n = 128
+            x = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32) * 2 + 0.3)
+            mask = jnp.asarray(rng.random(n) < 0.7)
+            xm = jnp.where(mask[:, None], x, 0.0)  # pad rows zero, like convs emit
+            xp = pack_feats(xm)
+            assert isinstance(xp, Packed)
+            if c == 24:
+                assert xp.data.shape[1] > xp.p * c  # pad lanes present
+            bn = MaskedBatchNorm()
+            vars0 = bn.init(jax.random.PRNGKey(0), xm, mask, True)
+            y_u, nv_u = bn.apply(vars0, xm, mask, True, 0.3, mutable=["batch_stats"])
+            y_p, nv_p = bn.apply(vars0, xp, mask, True, 0.3, mutable=["batch_stats"])
+            assert isinstance(y_p, Packed)
+            np.testing.assert_allclose(
+                np.asarray(unpack_feats(y_p)), np.asarray(y_u), rtol=1e-5, atol=1e-6
+            )
+            # pad lanes stay zero (the lane mask must drop them)
+            if xp.data.shape[1] != xp.p * c:
+                np.testing.assert_allclose(
+                    np.asarray(y_p.data[:, xp.p * c:]), 0.0
+                )
+            for k in ("mean", "var"):
+                np.testing.assert_allclose(
+                    np.asarray(nv_p["batch_stats"][k]),
+                    np.asarray(nv_u["batch_stats"][k]),
+                    rtol=1e-5, atol=1e-6,
+                )
+
     def test_eval_uses_running_stats(self, rng):
         x = jnp.asarray(rng.normal(size=(32, 4)).astype(np.float32) * 3 + 1)
         mask = jnp.ones(32, bool)
