@@ -235,22 +235,22 @@ def _pack_rows(acc, pout: int, cout: int, lanes: int):
 
     1. ``wide = acc @ T`` tiles the cout block across the pout lane slots
        (T[c, j*cout+c] = 1): one tiny [tr, cout] x [cout, lanes] GEMM.
-    2. ``wide.reshape(tr//pout, pout, lanes)`` splits SUBLANES only (lane
-       dim stays native 128-wide - a supported cast).
-    3. packed row q keeps lane slot j from sublane j: static middle-dim
-       slices + a lane-group mask, summed (exactly one live term per lane).
+    2. row r owns lane group r % pout: ONE static [tr, lanes] mask kills
+       every other group (pad lanes are already zero from the tile matrix).
+    3. ``masked.reshape(tr//pout, pout, lanes).sum(1)`` folds the pout
+       sublanes of each packed row - a SUBLANE-split cast (lane dim stays
+       native 128-wide, supported everywhere) + a sublane reduction; exactly
+       one live term per output element, so the fold is exact.
     """
     tr = acc.shape[0]
     li = jax.lax.broadcasted_iota(jnp.int32, (cout, lanes), 1)
     ci = jax.lax.broadcasted_iota(jnp.int32, (cout, lanes), 0)
     tm = ((li % cout == ci) & (li < pout * cout)).astype(acc.dtype)
     wide = jnp.dot(acc, tm, preferred_element_type=jnp.float32)
-    a3 = wide.reshape(tr // pout, pout, lanes)
-    lane_grp = jax.lax.broadcasted_iota(jnp.int32, (tr // pout, lanes), 1) // cout
-    po = jnp.zeros((tr // pout, lanes), jnp.float32)
-    for j in range(pout):
-        po = po + jnp.where(lane_grp == j, a3[:, j, :], 0.0)
-    return po
+    ri = jax.lax.broadcasted_iota(jnp.int32, (tr, lanes), 0) % pout
+    lg = jax.lax.broadcasted_iota(jnp.int32, (tr, lanes), 1) // cout
+    masked = jnp.where(ri == lg, wide, 0.0)
+    return masked.reshape(tr // pout, pout, lanes).sum(axis=1)
 
 
 def _unpack_rows(gp, pg: int, cout: int, tr: int):
