@@ -76,6 +76,39 @@ def pack_masksum(acc, pout, cout, lanes):
     return masked.reshape(tr // pout, pout, lanes).sum(axis=1)
 
 
+def pack_foldgemm(acc, pout, cout, lanes):
+    """Spread GEMM + mask as in masksum, but fold the pout sublanes with a
+    second one-hot MXU GEMM ([tr//pout, tr] @ [tr, lanes]) instead of the
+    3D sublane-split reshape + sum vector op."""
+    tr = acc.shape[0]
+    li = jax.lax.broadcasted_iota(jnp.int32, (cout, lanes), 1)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (cout, lanes), 0)
+    tm = ((li % cout == ci) & (li < pout * cout)).astype(acc.dtype)
+    wide = jnp.dot(acc, tm, preferred_element_type=jnp.float32)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (tr, lanes), 0) % pout
+    lg = jax.lax.broadcasted_iota(jnp.int32, (tr, lanes), 1) // cout
+    masked = jnp.where(ri == lg, wide, 0.0)
+    qi = jax.lax.broadcasted_iota(jnp.int32, (tr // pout, tr), 0)
+    rj = jax.lax.broadcasted_iota(jnp.int32, (tr // pout, tr), 1)
+    fold = (rj // pout == qi).astype(jnp.float32)
+    return jnp.dot(fold, masked, preferred_element_type=jnp.float32)
+
+
+def pack_strided(acc, pout, cout, lanes):
+    """masksum's spread GEMM, then fold via pout static strided sublane
+    slices + where-adds (no 3D vector, no second GEMM)."""
+    tr = acc.shape[0]
+    li = jax.lax.broadcasted_iota(jnp.int32, (cout, lanes), 1)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (cout, lanes), 0)
+    tm = ((li % cout == ci) & (li < pout * cout)).astype(acc.dtype)
+    wide = jnp.dot(acc, tm, preferred_element_type=jnp.float32)
+    lane_grp = jax.lax.broadcasted_iota(jnp.int32, (tr // pout, lanes), 1) // cout
+    po = jnp.zeros((tr // pout, lanes), jnp.float32)
+    for j in range(pout):
+        po = po + jnp.where(lane_grp == j, wide[j::pout, :], 0.0)
+    return po
+
+
 def main():
     from bench import build_inputs
     from panopticsegforlargescalepointcloud_tpu.ops import winconv as wc
@@ -105,6 +138,8 @@ def main():
         ("reshape", pack_reshape),
         ("loop", pack_loop),
         ("masksum", pack_masksum),
+        ("foldgemm", pack_foldgemm),
+        ("strided", pack_strided),
     ]:
         wc._pack_rows = fn  # fresh closure below -> fresh trace
 
