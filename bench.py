@@ -459,6 +459,14 @@ def measure_e2e(num_devices: int = 1):
         # the SHIPPED treeins flagship config (clustering/scorer budgets come
         # from the yaml; fractional rg cap resolves against the eval tile)
         cfg, ycfg = shipped_config("treeins_rad8", num_samples=1)
+        # BENCH_E2E_BITS=x,y,z (A/B override): grouped dispatch at g>=4
+        # needs a wider proposal-id field than the default (7,7,9) layout -
+        # the config validation names the required split
+        if os.environ.get("BENCH_E2E_BITS"):
+            bits = tuple(
+                int(b) for b in os.environ["BENCH_E2E_BITS"].split(",")
+            )
+            cfg = dataclasses.replace(cfg, scorer_bits=bits)
         capacity = int(ycfg["data"].get("eval_voxel_capacity", 32768))
         model = PointGroup3HeadsNet(cfg)
         tile, _ = ds.test_tiles(0)[0]

@@ -105,10 +105,13 @@ def main():
         mesh = make_mesh(jax.devices()[:nd])
     # tiles_per_dispatch=g batches g tiles into one single-device forward
     # (amortizes dispatch latency; exact per-tile results - see
-    # FullSceneEvaluator). Mutually exclusive with num_devices>1.
+    # FullSceneEvaluator). Mutually exclusive with num_devices>1. Default 2
+    # on a single device: measured 6.54 vs 7.90 s on the 500k-pt bench scene
+    # (bench_e2e.json; tiles pad to a full group, so 1-tile scenes still
+    # work - set tiles_per_dispatch=1 to force strictly serial dispatch).
     evaluator = FullSceneEvaluator(
         pcfg, model, params, stats, dataset, capacity, mesh=mesh,
-        tiles_per_dispatch=int(cfg.get("tiles_per_dispatch", 1)),
+        tiles_per_dispatch=int(cfg.get("tiles_per_dispatch", 1 if nd > 1 else 2)),
     )
     out_dir = str(cfg.get("out_dir", "eval_outputs"))
     # manifest: eval index -> source file, so evaluation_stats_FOR.py can
