@@ -65,19 +65,34 @@ def main():
     db, hier = prepare_example(arrays, cfg.num_down)
     tx = optax.adam(1e-3)
 
-    variants = [
-        ("A full (scorer=unet)", cfg, True),
-        ("B certainty scorer  ", dataclasses.replace(cfg, scorer_type=""), True),
-        ("C prepare (no clust)", cfg, False),
-    ]
-    for name, c, clust in variants:
-        model = PointGroup3HeadsNet(c)
-        state0 = init_state(c, model, tx, db, hier, jax.random.PRNGKey(0))
-        step = make_train_step(c, model, tx, with_clustering=clust)
-        t = measure(step, state0, arrays)
-        print(f"  {name}: {t:8.1f} ms")
-        sys.stdout.flush()
+    variants = {
+        "A": ("A full (scorer=unet)", cfg, True),
+        "B": ("B certainty scorer  ", dataclasses.replace(cfg, scorer_type=""), True),
+        "C": ("C prepare (no clust)", cfg, False),
+    }
+    import os
+
+    name, c, clust = variants[os.environ["PST_REMAINDER_VARIANT"]]
+    model = PointGroup3HeadsNet(c)
+    state0 = init_state(c, model, tx, db, hier, jax.random.PRNGKey(0))
+    step = make_train_step(c, model, tx, with_clustering=clust)
+    t = measure(step, state0, arrays)
+    print(f"  {name}: {t:8.1f} ms")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
-    main()
+    # One variant per PROCESS (PST_REMAINDER_VARIANT=A|B|C): keeping three
+    # compiled full-step executables + states alive in one process trips the
+    # axon backend (InvalidArgument on the second variant's first fetch, r5
+    # session log) even though each variant runs fine alone. With the env
+    # var unset, re-exec once per variant before touching jax.
+    import os
+    import subprocess
+
+    if os.environ.get("PST_REMAINDER_VARIANT") is None:
+        for v in ("A", "B", "C"):
+            env = dict(os.environ, PST_REMAINDER_VARIANT=v)
+            subprocess.run([sys.executable, __file__], env=env, check=False)
+    else:
+        main()
